@@ -1,0 +1,86 @@
+"""CRNN text recognition model.
+
+Capability parity with the reference's ``RecognitionModel``
+(models.py:146-268): greyscale 64-high text-line image in, per-timestep
+character log-probabilities out, where the conv stack downsamples width by
+4 (emitting ``floor(W/4) + 1`` timesteps — the final 2x2/pad-1 conv adds a
+column) and collapses height to 1, followed by a 2-layer bidirectional GRU
+and a linear + log-softmax head.
+
+TPU-first design: NHWC layout, convs run in bfloat16 (optionally), the GRU
+is a ``lax.scan`` with hoisted MXU-friendly input projections
+(:class:`ocrs_models_tpu.ops.BiGRU`), and log-softmax is computed in
+float32. Output layout is ``[N, T, C]`` (batch-major — better for TPU
+sharding than the reference's torch-RNN-legacy ``[T, N, C]``).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.gru import BiGRU
+
+
+class RecognitionModel(nn.Module):
+    """CRNN: conv feature extractor -> biGRU -> per-timestep classifier.
+
+    Input ``[N, 64, W, 1]`` float in [-0.5, 0.5]; output ``[N, W//4 + 1,
+    n_classes]`` log-probabilities (class 0 = CTC blank).
+    """
+
+    n_classes: int  # len(alphabet) + 1
+    gru_hidden: int = 256
+    gru_layers: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dt = self.dtype
+        x = x.astype(dt)
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name=name,
+            )
+
+        p1 = ((1, 1), (1, 1))
+        # Stage 1: 64xW -> 32 x W/2
+        x = nn.Conv(32, (3, 3), padding=p1, dtype=dt, name="conv0")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # Stage 2: -> 16 x W/4
+        x = nn.Conv(64, (3, 3), padding=p1, use_bias=False, dtype=dt, name="conv3")(x)
+        x = nn.relu(bn("bn4")(x)).astype(dt)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # Stage 3: -> 8 x W/4
+        x = nn.Conv(128, (3, 3), padding=p1, dtype=dt, name="conv7")(x)
+        x = nn.relu(x)
+        x = nn.Conv(128, (3, 3), padding=p1, use_bias=False, dtype=dt, name="conv9")(x)
+        x = nn.relu(bn("bn10")(x)).astype(dt)
+        x = nn.max_pool(x, (2, 1), strides=(2, 1))
+        # Stage 4: -> 4 x W/4
+        x = nn.Conv(128, (3, 3), padding=p1, dtype=dt, name="conv13")(x)
+        x = nn.relu(x)
+        x = nn.Conv(128, (3, 3), padding=p1, use_bias=False, dtype=dt, name="conv15")(x)
+        x = nn.relu(bn("bn16")(x)).astype(dt)
+        x = nn.max_pool(x, (2, 1), strides=(2, 1))
+        # Stage 5: 2x2 conv with pad 1 -> 5 x (W/4 + 1), then avg-pool height
+        x = nn.Conv(128, (2, 2), padding=p1, use_bias=False, dtype=dt, name="conv19")(x)
+        x = bn("bn20")(x).astype(dt)
+        x = nn.avg_pool(x, (4, 1), strides=(4, 1))  # -> [N, 1, T, 128]
+
+        # Collapse height into features: [N, T, C*H] with channel-major order
+        # (the reference reshapes NCHW -> WN(CH); H is 1 so this is just C).
+        n, h, t, c = x.shape
+        x = x.transpose(0, 2, 3, 1).reshape(n, t, c * h)
+
+        # Recurrent head in float32 (reference pins the GRU to fp32).
+        x = BiGRU(self.gru_hidden, self.gru_layers, name="gru")(x)
+
+        x = nn.Dense(self.n_classes, dtype=dt, name="output")(x.astype(dt))
+        return nn.log_softmax(x.astype(jnp.float32), axis=-1)

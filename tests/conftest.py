@@ -2,14 +2,23 @@
 
 All tests run on a virtual 8-device CPU mesh so that data-parallel/pjit code
 paths are exercised without TPU hardware (mirrors the driver's
-``dryrun_multichip`` validation). Must run before the first ``import jax``.
+``dryrun_multichip`` validation).
+
+Note: this image boots an ``axon`` TPU PJRT plugin from ``sitecustomize``
+which force-sets ``jax_platforms="axon,cpu"`` at interpreter startup, so the
+usual ``JAX_PLATFORMS=cpu`` env var is ineffective; the config must be
+re-updated after ``import jax`` (before any backend initialization).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must precede the first jax backend initialization.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -10,6 +10,14 @@ by the batch's max coordinate and gathers from it (models.py:298-318) — a
 dynamic shape. Here the sinusoids are evaluated directly at the (rounded)
 coordinates, which is algebraically identical at integer coordinates and
 keeps every shape static under jit.
+
+Deliberate behavioral fix: the reference feeds ``[N, W, d]`` activations
+into a torch ``TransformerEncoder`` left at its seq-first default
+(``batch_first=False``), so its attention actually mixes *across the batch
+axis* rather than across the words of one page (models.py:385-401 — a
+latent bug in the WIP layout model; at batch size 1 its attention is an
+identity mix). This implementation attends over the words of each sample,
+which is the intended semantics of the model.
 """
 
 from __future__ import annotations

@@ -33,6 +33,10 @@ class RecognitionModel(nn.Module):
     gru_hidden: int = 256
     gru_layers: int = 2
     dtype: jnp.dtype = jnp.float32
+    # GRU matmul operand dtype. None => follow `dtype` (bf16 training fast
+    # path); float32 bit-matches the reference's fp32 GRU for checkpoint
+    # parity at inference.
+    gru_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -79,8 +83,12 @@ class RecognitionModel(nn.Module):
         n, h, t, c = x.shape
         x = x.transpose(0, 2, 3, 1).reshape(n, t, c * h)
 
-        # Recurrent head in float32 (reference pins the GRU to fp32).
-        x = BiGRU(self.gru_hidden, self.gru_layers, name="gru")(x)
+        # Recurrent head: fp32 gates/state; matmul operand dtype follows the
+        # model unless pinned (the reference pins its GRU to fp32).
+        gru_dt = self.gru_dtype if self.gru_dtype is not None else self.dtype
+        x = BiGRU(
+            self.gru_hidden, self.gru_layers, compute_dtype=gru_dt, name="gru"
+        )(x)
 
         x = nn.Dense(self.n_classes, dtype=dt, name="output")(x.astype(dt))
         return nn.log_softmax(x.astype(jnp.float32), axis=-1)

@@ -47,10 +47,18 @@ def ctc_loss_forward(
     prev2 = jnp.pad(ext[:, :-2], ((0, 0), (2, 0)))
     can_skip = (ext != 0) & (ext != prev2)
 
+    # Emission log-probs for every (t, extended position) hoisted out of the
+    # recurrence as one batched one-hot matmul (MXU-friendly; a per-step
+    # take_along_axis gather is a slow generic gather on TPU).
+    ext_onehot = jax.nn.one_hot(ext, c, dtype=log_probs.dtype)  # [N, S, C]
+    emit = jnp.einsum(
+        "ntc,nsc->tns", log_probs, ext_onehot,
+        preferred_element_type=jnp.float32,
+    )  # [T, N, S]
+
     # alpha_0: only s=0 (blank) and s=1 (first label) are reachable.
     pos = jnp.arange(s)[None, :]
-    emit0 = jnp.take_along_axis(log_probs[:, 0, :], ext, axis=1)
-    alpha0 = jnp.where(pos <= 1, emit0, _NEG_INF)
+    alpha0 = jnp.where(pos <= 1, emit[0], _NEG_INF)
     # For empty labels, position 1 is a padded blank that must stay off the
     # legal path: positions beyond 2*label_len are unreachable at t=0 only
     # via pos<=1 (pos 1 invalid if label_len == 0).
@@ -64,21 +72,20 @@ def ctc_loss_forward(
         )
         return jnp.where(m <= _NEG_INF, _NEG_INF, out)
 
-    lp = log_probs.transpose(1, 0, 2)  # [T, N, C]
-
     def step(alpha, inputs):
-        lp_t, t_idx = inputs
+        emit_t, t_idx = inputs
         stay = alpha
         from1 = jnp.pad(alpha[:, :-1], ((0, 0), (1, 0)), constant_values=_NEG_INF)
         from2 = jnp.pad(alpha[:, :-2], ((0, 0), (2, 0)), constant_values=_NEG_INF)
         from2 = jnp.where(can_skip, from2, _NEG_INF)
-        emit = jnp.take_along_axis(lp_t, ext, axis=1)
-        new_alpha = logaddexp3(stay, from1, from2) + emit
+        new_alpha = logaddexp3(stay, from1, from2) + emit_t
         # Freeze alpha past each sample's input length.
         active = (t_idx < input_lengths)[:, None]
         return jnp.where(active, new_alpha, alpha), None
 
-    alpha_final, _ = jax.lax.scan(step, alpha0, (lp[1:], jnp.arange(1, t)))
+    alpha_final, _ = jax.lax.scan(
+        step, alpha0, (emit[1:], jnp.arange(1, t)), unroll=4
+    )
 
     # Total log prob: last blank + last label positions.
     end = 2 * label_lengths

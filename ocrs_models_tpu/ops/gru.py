@@ -11,8 +11,15 @@ bidirectional=True, num_layers=2)`` (models.py:245). Design:
   reversed sequence along the batch axis (halves scan trip count overhead).
 - Gate math and parameter layout mirror torch's GRU (gates ordered r, z, n;
   ``n`` uses ``r * (W_hn h + b_hn)``) so reference checkpoints import with
-  exact numerics. Recurrence runs in float32, matching the reference's
-  fp32-pinned GRU island under autocast (models.py:264-266).
+  exact numerics.
+
+Precision: parameters, gate nonlinearities, and the carried hidden state
+are always float32. ``compute_dtype`` selects the matmul operand dtype:
+``float32`` (default — runs fp32 at Precision.HIGHEST, bit-matching the
+reference's fp32-pinned GRU island, models.py:264-266) or ``bfloat16``
+(MXU-native operands with float32 accumulation — the training fast path;
+torch pins its GRU to fp32 only because cuDNN lacks a bf16 GRU, not for
+numerical reasons).
 """
 
 from __future__ import annotations
@@ -26,6 +33,8 @@ class GRUCellScan(nn.Module):
     """One bidirectional GRU layer over a full sequence."""
 
     hidden: int
+    compute_dtype: jnp.dtype = jnp.float32
+    unroll: int = 4
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
@@ -33,7 +42,6 @@ class GRUCellScan(nn.Module):
         :return: ``[N, T, 2*hidden]`` concatenated fwd/bwd outputs."""
         n, t, f = xs.shape
         h = self.hidden
-
         k = 1.0 / h**0.5
 
         def init(key, shape, dtype=jnp.float32):
@@ -50,27 +58,35 @@ class GRUCellScan(nn.Module):
         wf_ih, wf_hh, bf_ih, bf_hh = proj_params("fwd")
         wb_ih, wb_hh, bb_ih, bb_hh = proj_params("bwd")
 
-        xs32 = xs.astype(jnp.float32)
+        fast = self.compute_dtype != jnp.float32
+        cdt = self.compute_dtype
+        # fp32 operands need Precision.HIGHEST to stay true fp32 on the MXU;
+        # bf16 operands accumulate in fp32 natively.
+        prec = None if fast else jax.lax.Precision.HIGHEST
+
+        xs_c = xs.astype(cdt)
         # Hoisted input projections: big MXU matmuls outside the recurrence.
-        # Precision HIGHEST keeps these true fp32 on TPU (where the default
-        # matmul precision is bf16) — the recurrence is fp32 by design,
-        # matching the reference's fp32-pinned GRU.
-        hi = jax.lax.Precision.HIGHEST
-        px_f = jnp.matmul(xs32, wf_ih.astype(jnp.float32), precision=hi) + bf_ih
-        px_b = jnp.matmul(xs32[:, ::-1], wb_ih.astype(jnp.float32), precision=hi) + bb_ih
+        px_f = jnp.matmul(
+            xs_c, wf_ih.astype(cdt), precision=prec,
+            preferred_element_type=jnp.float32,
+        ) + bf_ih
+        px_b = jnp.matmul(
+            xs_c[:, ::-1], wb_ih.astype(cdt), precision=prec,
+            preferred_element_type=jnp.float32,
+        ) + bb_ih
 
         # Stack directions on the batch axis: [T, 2N, 3H].
         px = jnp.concatenate([px_f, px_b], axis=0).transpose(1, 0, 2)
-        w_hh = jnp.stack([wf_hh, wb_hh]).astype(jnp.float32)  # [2, H, 3H]
+        w_hh = jnp.stack([wf_hh, wb_hh]).astype(cdt)  # [2, H, 3H]
         b_hh = jnp.stack([bf_hh, bb_hh]).astype(jnp.float32)  # [2, 3H]
 
         def step(carry, x_t):
-            # carry: [2, N, H]; x_t: [2N, 3H]
+            # carry: [2, N, H] float32; x_t: [2N, 3H] float32
             ph = jnp.einsum(
                 "dnh,dhk->dnk",
-                carry,
+                carry.astype(cdt),
                 w_hh,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
                 preferred_element_type=jnp.float32,
             ) + b_hh[:, None, :]
             xr, xz, xn = jnp.split(x_t.reshape(2, n, 3 * h), 3, axis=-1)
@@ -82,7 +98,7 @@ class GRUCellScan(nn.Module):
             return new_h, new_h
 
         h0 = jnp.zeros((2, n, h), jnp.float32)
-        _, ys = jax.lax.scan(step, h0, px)  # ys: [T, 2, N, H]
+        _, ys = jax.lax.scan(step, h0, px, unroll=self.unroll)  # ys: [T, 2, N, H]
         out_f = ys[:, 0].transpose(1, 0, 2)  # [N, T, H]
         out_b = ys[:, 1].transpose(1, 0, 2)[:, ::-1]  # un-reverse
         return jnp.concatenate([out_f, out_b], axis=-1)
@@ -94,9 +110,16 @@ class BiGRU(nn.Module):
 
     hidden: int
     layers: int = 2
+    compute_dtype: jnp.dtype = jnp.float32
+    unroll: int = 4
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.layers):
-            xs = GRUCellScan(self.hidden, name=f"layer_{i}")(xs)
+            xs = GRUCellScan(
+                self.hidden,
+                compute_dtype=self.compute_dtype,
+                unroll=self.unroll,
+                name=f"layer_{i}",
+            )(xs)
         return xs

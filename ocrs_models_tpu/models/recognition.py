@@ -37,6 +37,9 @@ class RecognitionModel(nn.Module):
     # path); float32 bit-matches the reference's fp32 GRU for checkpoint
     # parity at inference.
     gru_dtype: jnp.dtype | None = None
+    # "auto" picks the Pallas fused-recurrence kernel on single-chip TPU
+    # and lax.scan elsewhere; "pallas"/"scan" force a backend.
+    gru_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -87,7 +90,11 @@ class RecognitionModel(nn.Module):
         # model unless pinned (the reference pins its GRU to fp32).
         gru_dt = self.gru_dtype if self.gru_dtype is not None else self.dtype
         x = BiGRU(
-            self.gru_hidden, self.gru_layers, compute_dtype=gru_dt, name="gru"
+            self.gru_hidden,
+            self.gru_layers,
+            compute_dtype=gru_dt,
+            backend=self.gru_backend,
+            name="gru",
         )(x)
 
         x = nn.Dense(self.n_classes, dtype=dt, name="output")(x.astype(dt))

@@ -29,12 +29,27 @@ import jax
 import jax.numpy as jnp
 
 
+def _resolve_backend(backend: str) -> str:
+    """'auto' -> 'pallas' on a single-device TPU process, else 'scan'.
+
+    The Pallas path needs a per-device call; under multi-device GSPMD the
+    recurrence stays on the scan path until it is wrapped in shard_map
+    (single-chip is where the kernel-launch overhead matters most anyway).
+    """
+    if backend != "auto":
+        return backend
+    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+        return "pallas"
+    return "scan"
+
+
 class GRUCellScan(nn.Module):
     """One bidirectional GRU layer over a full sequence."""
 
     hidden: int
     compute_dtype: jnp.dtype = jnp.float32
     unroll: int = 4
+    backend: str = "auto"  # "auto" | "pallas" | "scan"
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
@@ -75,30 +90,41 @@ class GRUCellScan(nn.Module):
             preferred_element_type=jnp.float32,
         ) + bb_ih
 
-        # Stack directions on the batch axis: [T, 2N, 3H].
-        px = jnp.concatenate([px_f, px_b], axis=0).transpose(1, 0, 2)
-        w_hh = jnp.stack([wf_hh, wb_hh]).astype(cdt)  # [2, H, 3H]
-        b_hh = jnp.stack([bf_hh, bb_hh]).astype(jnp.float32)  # [2, 3H]
+        # Stack directions on a leading axis: [T, 2, N, 3H].
+        px = jnp.stack([px_f, px_b], axis=0).transpose(2, 0, 1, 3)
+        w_hh = jnp.stack([wf_hh, wb_hh])  # [2, H, 3H] f32
+        b_hh = jnp.stack([bf_hh, bb_hh])  # [2, 3H] f32
 
-        def step(carry, x_t):
-            # carry: [2, N, H] float32; x_t: [2N, 3H] float32
-            ph = jnp.einsum(
-                "dnh,dhk->dnk",
-                carry.astype(cdt),
-                w_hh,
-                precision=prec,
-                preferred_element_type=jnp.float32,
-            ) + b_hh[:, None, :]
-            xr, xz, xn = jnp.split(x_t.reshape(2, n, 3 * h), 3, axis=-1)
-            hr, hz, hn = jnp.split(ph, 3, axis=-1)
-            r = jax.nn.sigmoid(xr + hr)
-            z = jax.nn.sigmoid(xz + hz)
-            cand = jnp.tanh(xn + r * hn)
-            new_h = (1.0 - z) * cand + z * carry
-            return new_h, new_h
+        backend = _resolve_backend(self.backend)
+        if backend == "pallas":
+            from .pallas.gru_kernel import gru_recurrence
 
-        h0 = jnp.zeros((2, n, h), jnp.float32)
-        _, ys = jax.lax.scan(step, h0, px, unroll=self.unroll)  # ys: [T, 2, N, H]
+            interpret = jax.default_backend() != "tpu"
+            ys = gru_recurrence(px, w_hh, b_hh, cdt, interpret)
+        else:
+            w_c = w_hh.astype(cdt)
+
+            def step(carry, x_t):
+                # carry: [2, N, H] float32; x_t: [2, N, 3H] float32
+                ph = jnp.einsum(
+                    "dnh,dhk->dnk",
+                    carry.astype(cdt),
+                    w_c,
+                    precision=prec,
+                    preferred_element_type=jnp.float32,
+                ) + b_hh[:, None, :]
+                xr, xz, xn = jnp.split(x_t, 3, axis=-1)
+                hr, hz, hn = jnp.split(ph, 3, axis=-1)
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                cand = jnp.tanh(xn + r * hn)
+                new_h = (1.0 - z) * cand + z * carry
+                return new_h, new_h
+
+            h0 = jnp.zeros((2, n, h), jnp.float32)
+            _, ys = jax.lax.scan(step, h0, px, unroll=self.unroll)
+
+        # ys: [T, 2, N, H]
         out_f = ys[:, 0].transpose(1, 0, 2)  # [N, T, H]
         out_b = ys[:, 1].transpose(1, 0, 2)[:, ::-1]  # un-reverse
         return jnp.concatenate([out_f, out_b], axis=-1)
@@ -112,6 +138,7 @@ class BiGRU(nn.Module):
     layers: int = 2
     compute_dtype: jnp.dtype = jnp.float32
     unroll: int = 4
+    backend: str = "auto"
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +147,7 @@ class BiGRU(nn.Module):
                 self.hidden,
                 compute_dtype=self.compute_dtype,
                 unroll=self.unroll,
+                backend=self.backend,
                 name=f"layer_{i}",
             )(xs)
         return xs

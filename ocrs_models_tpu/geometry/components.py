@@ -27,6 +27,10 @@ def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
         m = m[..., 0]
     if m.ndim != 2:
         raise ValueError("Expected mask to be HxW (optionally with a 1-channel dim)")
+    from . import native
+
+    if native.available():
+        return native.cc_label(m)
     fg = m > 0
     h, w = fg.shape
     labels = np.zeros((h, w), dtype=np.int32)

@@ -67,6 +67,10 @@ def min_area_rect(points: np.ndarray) -> np.ndarray:
     the rectangle). Rotating-calipers over the convex hull: the optimal rect
     has one side collinear with a hull edge.
     """
+    from . import native
+
+    if native.available():
+        return native.min_area_rect(points)
     pts = np.asarray(points, dtype=np.float64)
     hull = convex_hull(pts)
     if len(hull) == 0:
@@ -193,6 +197,11 @@ def shrink_polygon(poly, dist: float) -> list[tuple[float, float]]:
     Degeneracy here = the offset ring flips orientation, loses almost all
     area, or self-intersects.
     """
+    from . import native
+
+    if native.available():
+        out = native.polygon_offset(np.asarray(poly, dtype=np.float64), dist)
+        return [(float(x), float(y)) for x, y in out]
     p = np.asarray(poly, dtype=np.float64)
     orig_area = polygon_area(p)
     out = _offset_ring(p, dist)
@@ -210,6 +219,10 @@ def shrink_polygon(poly, dist: float) -> list[tuple[float, float]]:
 
 def expand_polygon(poly, dist: float) -> np.ndarray:
     """Offset every edge of a polygon outward by ``dist`` (mitre joins)."""
+    from . import native
+
+    if native.available():
+        return native.polygon_offset(np.asarray(poly, dtype=np.float64), -dist)
     return _offset_ring(np.asarray(poly, dtype=np.float64), -dist)
 
 
@@ -275,6 +288,10 @@ def _clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
 
 def convex_intersection_area(a: np.ndarray, b: np.ndarray) -> float:
     """Area of the intersection of two convex polygons."""
+    from . import native
+
+    if native.available():
+        return native.convex_clip_area(a, b)
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     if polygon_area(a) < 0:

@@ -28,6 +28,11 @@ def fill_polygon(width: int, height: int, poly, out: np.ndarray | None = None) -
     p = np.asarray(poly, dtype=np.float64)
     if len(p) < 3:
         return out
+    from . import native
+
+    if native.available() and out.flags.c_contiguous:
+        native.fill_polygon(p, height, width, out)
+        return out
     ys = p[:, 1]
     y0 = max(0, int(np.floor(ys.min())))
     y1 = min(height - 1, int(np.floor(ys.max())))

@@ -84,13 +84,18 @@ def ctc_greedy_decode_batch(
 
 def levenshtein(a: str, b: str) -> int:
     """Edit distance between two strings (first-party replacement for the
-    reference's ``pylev`` dependency, train_rec.py:5,65)."""
+    reference's ``pylev`` dependency, train_rec.py:5,65). Uses the native
+    C++ core when available, numpy DP otherwise."""
     if a == b:
         return 0
     if not a:
         return len(b)
     if not b:
         return len(a)
+    from ..geometry import native
+
+    if native.available():
+        return native.levenshtein(a, b)
     # Vectorized DP over rows of the edit matrix.
     bn = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
     prev = np.arange(len(bn) + 1, dtype=np.int64)

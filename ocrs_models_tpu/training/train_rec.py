@@ -50,7 +50,10 @@ def preview_predictions(batch, preds, alphabet: str, tag: str, limit: int = 10):
 def run_epoch(
     loader, mesh, state, step_fn, alphabet, lr=None, epoch=0, train=True
 ):
+    from ..utils.profiling import Throughput
+
     stats = RecognitionAccuracyStats(alphabet)
+    throughput = Throughput(warmup=1, n_chips=mesh.size)
     total_loss = 0.0
     total_grad_norm = 0.0
     n_batches = 0
@@ -80,9 +83,11 @@ def run_epoch(
         if train:
             total_grad_norm += float(metrics["grad_norm"])
         n_batches += 1
+        throughput.update(int(valid.sum()))
     mean_loss = total_loss / max(n_batches, 1)
     if train:
         print(f"Mean grad norm {total_grad_norm / max(n_batches, 1):.3f}")
+        print(f"Throughput {throughput.last_rate:.0f} crops/sec/chip")
         return state, mean_loss, stats
     return mean_loss, stats
 

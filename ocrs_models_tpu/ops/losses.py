@@ -3,14 +3,16 @@
 ``balanced_cross_entropy_loss`` reproduces the reference's class-balanced
 BCE (train_detection.py:225-263) under XLA's static-shape constraint: the
 reference takes ``topk`` of positive/negative pixel losses with a
-data-dependent ``k = min(#pos, #neg)`` and ``.item()`` host syncs; here the
-same quantity is computed with a full sort + rank mask, which is
-loss-equivalent (mean of the k largest values of each side) and stays
-entirely on device inside jit.
+data-dependent ``k = min(#pos, #neg)`` and ``.item()`` host syncs. Sorting
+millions of pixel losses per step is prohibitive on TPU, so the sum of the
+k largest entries is computed exactly via a fixed-trip binary search for
+the k-th-value threshold — a handful of bandwidth-bound masked reductions
+instead of an O(n log n) sort, fully on device inside jit.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -33,6 +35,10 @@ def balanced_cross_entropy_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.n
         target_c * jnp.log(jnp.maximum(pred, eps))
         + (1.0 - target_c) * jnp.log(jnp.maximum(1.0 - pred, eps))
     )
+    # Fusion boundary: without it XLA producer-fuses the upstream network's
+    # epilogue into each of the top-k selection's many reduction consumers,
+    # and compilation of the joint train step never terminates.
+    pixel_loss = jax.lax.optimization_barrier(pixel_loss)
 
     pos_loss = jnp.where(pos_mask, pixel_loss, 0.0).ravel()
     neg_loss = jnp.where(neg_mask, pixel_loss, 0.0).ravel()
@@ -41,15 +47,38 @@ def balanced_cross_entropy_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.n
     n_neg = jnp.count_nonzero(neg_mask)
     k = jnp.minimum(n_pos, n_neg)
 
-    # Mean of the k largest entries of each side, with traced (dynamic) k:
-    # sort descending once, then mask by rank. Masked-out pixels hold loss 0,
-    # which sorts after any real BCE value, so ranks < k are exactly the
-    # side's top-k as in the reference.
-    rank = jnp.arange(pos_loss.shape[0])
-    pos_top = jnp.where(rank < k, jnp.sort(pos_loss)[::-1], 0.0)
-    neg_top = jnp.where(rank < k, jnp.sort(neg_loss)[::-1], 0.0)
-    total = jnp.sum(pos_top) + jnp.sum(neg_top)
+    total = _top_k_sum(pos_loss, k) + _top_k_sum(neg_loss, k)
     return total / jnp.maximum(2 * k, 1).astype(jnp.float32)
+
+
+def _top_k_sum(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Sum of the ``k`` largest entries of non-negative ``x`` with traced k.
+
+    Exact (up to float-tie resolution): 32-iteration bisection finds the
+    threshold tau with ``count(x > tau) <= k``; entries above tau sum
+    directly and the remaining ``k - count`` slots are ties at tau. The
+    gradient flows through selected entries only (tau is stopped), matching
+    topk's subgradient.
+    """
+    x = x.ravel()
+    kf = k.astype(x.dtype)
+    # The threshold search runs entirely on stopped values so reverse-mode AD
+    # never linearizes through the 32-iteration loop (doing so blows up the
+    # compile when composed with a large upstream network).
+    xs = jax.lax.stop_gradient(x)
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        too_many = jnp.sum(xs > mid) > k
+        return jnp.where(too_many, mid, lo), jnp.where(too_many, hi, mid)
+
+    lo0 = jnp.zeros((), xs.dtype)
+    hi0 = jnp.max(xs) + jnp.asarray(1e-3, xs.dtype)
+    _, tau = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+    selected = xs > tau
+    n_sel = jnp.sum(selected).astype(x.dtype)
+    return jnp.sum(jnp.where(selected, x, 0.0)) + jnp.maximum(kf - n_sel, 0.0) * tau
 
 
 def weighted_bce_with_logits(

@@ -1,0 +1,219 @@
+"""End-to-end OCR inference pipeline: detect -> group lines -> recognize.
+
+The reference repo trains the models and defers inference composition to
+the downstream Rust ocrs engine; this module provides the full three-stage
+path natively (BASELINE.json config #5): U-Net text detection, connected-
+component word quads, line grouping via vertical overlap (optionally the
+layout transformer), per-line crops batched into width buckets, CRNN
+recognition, and batched greedy CTC decode.
+
+Usage:
+    pipe = OcrPipeline.from_checkpoints(det_ckpt, rec_ckpt)
+    result = pipe(np_grey_image)   # -> list of (text, line_box)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_ALPHABET, SHRINK_DISTANCE, DetectionTrainConfig
+from .data.augment import resize
+from .data.collate import round_up
+from .geometry import expand_quads, extract_cc_quads
+from .models import DetectionModel, RecognitionModel
+from .utils.text import ctc_greedy_decode_batch, decode_text
+
+
+@dataclasses.dataclass
+class OcrLine:
+    text: str
+    box: tuple[float, float, float, float]  # (left, top, right, bottom)
+    words: list[np.ndarray]  # word quads (4x2) composing the line
+
+
+def _vertical_overlap(a, b) -> float:
+    top = max(a[1], b[1])
+    bottom = min(a[3], b[3])
+    if bottom <= top:
+        return 0.0
+    return (bottom - top) / max(min(a[3] - a[1], b[3] - b[1]), 1e-6)
+
+
+def group_words_into_lines(quads: np.ndarray, overlap_threshold: float = 0.5):
+    """Group word quads into reading-order lines by vertical overlap of
+    their AABBs — the same heuristic the layout training labels encode
+    (reference web_layout.py:140-172), applied at inference."""
+    if len(quads) == 0:
+        return []
+    boxes = np.stack([quads.min(axis=1), quads.max(axis=1)], axis=1).reshape(-1, 4)
+    order = np.argsort(boxes[:, 1])  # by top
+    lines: list[dict] = []
+    for i in order:
+        box = boxes[i]
+        placed = False
+        for line in lines:
+            if _vertical_overlap(line["box"], box) >= overlap_threshold:
+                line["members"].append(i)
+                lb = line["box"]
+                line["box"] = [
+                    min(lb[0], box[0]), min(lb[1], box[1]),
+                    max(lb[2], box[2]), max(lb[3], box[3]),
+                ]
+                placed = True
+                break
+        if not placed:
+            lines.append({"box": list(box), "members": [i]})
+    lines.sort(key=lambda ln: ln["box"][1])
+    for line in lines:
+        line["members"].sort(key=lambda i: boxes[i][0])  # left-to-right
+    return [(np.array(ln["box"]), ln["members"]) for ln in lines]
+
+
+class OcrPipeline:
+    def __init__(
+        self,
+        det_variables,
+        rec_variables,
+        alphabet: str = DEFAULT_ALPHABET,
+        det_size: Optional[tuple[int, int]] = None,
+        rec_height: int = 64,
+        max_line_width: int = 800,
+        width_step: int = 256,
+        threshold: float = 0.5,
+    ):
+        self.alphabet = alphabet
+        self.det_size = det_size or DetectionTrainConfig().mask_size
+        self.rec_height = rec_height
+        self.max_line_width = max_line_width
+        self.width_step = width_step
+        self.threshold = threshold
+
+        det_model = DetectionModel()
+        rec_model = RecognitionModel(n_classes=len(alphabet) + 1)
+        self._det_vars = det_variables
+        self._rec_vars = rec_variables
+        self._det_fwd = jax.jit(
+            lambda v, x: det_model.apply(v, x, train=False)
+        )
+        self._rec_fwd = jax.jit(
+            lambda v, x: rec_model.apply(v, x, train=False)
+        )
+        self._decode = jax.jit(ctc_greedy_decode_batch)
+
+    @classmethod
+    def from_checkpoints(cls, det_ckpt: str, rec_ckpt: str, **kwargs) -> "OcrPipeline":
+        from .training.state import create_train_state
+        from .utils.checkpoint import load_checkpoint
+
+        det_model = DetectionModel()
+        rec_model = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
+        det_state = create_train_state(
+            det_model, jax.random.key(0), jnp.zeros((1, 64, 64, 1))
+        )
+        det_state, _ = load_checkpoint(det_ckpt, det_state)
+        rec_state = create_train_state(
+            rec_model, jax.random.key(0), jnp.zeros((1, 64, 64, 1))
+        )
+        rec_state, _ = load_checkpoint(rec_ckpt, rec_state)
+        return cls(
+            {"params": det_state.params, "batch_stats": det_state.batch_stats},
+            {"params": rec_state.params, "batch_stats": rec_state.batch_stats},
+            **kwargs,
+        )
+
+    @classmethod
+    def from_torch_state_dicts(cls, det_sd, rec_sd, **kwargs) -> "OcrPipeline":
+        """Build directly from reference-format torch state dicts (e.g. the
+        published ocrs checkpoints)."""
+        from .export import (
+            import_detection_state_dict,
+            import_recognition_state_dict,
+        )
+
+        return cls(
+            import_detection_state_dict(det_sd),
+            import_recognition_state_dict(rec_sd),
+            **kwargs,
+        )
+
+    # ------------------------------------------------------------- stages
+
+    def detect_words(self, image: np.ndarray) -> np.ndarray:
+        """Greyscale [-0.5, 0.5] HWC image -> Nx4x2 word quads (input scale)."""
+        h, w = image.shape[:2]
+        det_in = resize(image, self.det_size)
+        probs = np.asarray(self._det_fwd(self._det_vars, jnp.array(det_in[None])))[0]
+        binary = (probs > self.threshold).astype(np.uint8)[..., 0]
+        quads = extract_cc_quads(binary)
+        quads = expand_quads(quads, dist=SHRINK_DISTANCE)
+        # Map back to input resolution.
+        scale = np.array([w / self.det_size[1], h / self.det_size[0]])
+        return np.asarray(quads, dtype=np.float64) * scale
+
+    def recognize_lines(
+        self, image: np.ndarray, line_boxes: list[np.ndarray]
+    ) -> list[str]:
+        """Crop line boxes, batch by width bucket, run CRNN + greedy decode."""
+        h, w = image.shape[:2]
+        crops = []
+        for box in line_boxes:
+            x0, y0, x1, y1 = box
+            x0 = int(max(0, np.floor(x0)))
+            y0 = int(max(0, np.floor(y0)))
+            x1 = int(min(w, np.ceil(x1)))
+            y1 = int(min(h, np.ceil(y1)))
+            if x1 - x0 < 2 or y1 - y0 < 2:
+                crops.append(None)
+                continue
+            crop = image[y0:y1, x0:x1]
+            aspect = (x1 - x0) / (y1 - y0)
+            out_w = min(self.max_line_width, max(10, int(self.rec_height * aspect)))
+            crops.append(resize(crop, (self.rec_height, out_w)))
+
+        texts = [""] * len(crops)
+        valid = [i for i, c in enumerate(crops) if c is not None]
+        if not valid:
+            return texts
+        # One bucketed batch per distinct padded width.
+        widths = {
+            i: min(
+                round_up(crops[i].shape[1], self.width_step), self.max_line_width
+            )
+            for i in valid
+        }
+        for bucket in sorted(set(widths.values())):
+            idxs = [i for i in valid if widths[i] == bucket]
+            batch = np.zeros((len(idxs), self.rec_height, bucket, 1), np.float32)
+            lens = np.zeros((len(idxs),), np.int32)
+            for row, i in enumerate(idxs):
+                wi = min(crops[i].shape[1], bucket)
+                batch[row, :, :wi] = crops[i][:, :wi]
+                lens[row] = wi // 4
+            log_probs = self._rec_fwd(self._rec_vars, jnp.array(batch))
+            ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            decoded, dec_lens = self._decode(ids, jnp.array(lens))
+            decoded = np.asarray(decoded)
+            dec_lens = np.asarray(dec_lens)
+            for row, i in enumerate(idxs):
+                texts[i] = decode_text(decoded[row, : dec_lens[row]], self.alphabet)
+        return texts
+
+    def __call__(self, image: np.ndarray) -> list[OcrLine]:
+        """Full pipeline on a greyscale HWC float image in [-0.5, 0.5]."""
+        quads = self.detect_words(image)
+        lines = group_words_into_lines(quads)
+        line_boxes = [box for box, _ in lines]
+        texts = self.recognize_lines(image, line_boxes)
+        return [
+            OcrLine(
+                text=text,
+                box=tuple(float(v) for v in box),
+                words=[quads[i] for i in members],
+            )
+            for text, (box, members) in zip(texts, lines)
+        ]

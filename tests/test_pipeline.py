@@ -1,0 +1,81 @@
+"""End-to-end OCR pipeline tests (random weights; exercises plumbing)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocrs_models_tpu.config import DEFAULT_ALPHABET
+from ocrs_models_tpu.models import DetectionModel, RecognitionModel
+from ocrs_models_tpu.pipeline import OcrPipeline, group_words_into_lines
+
+
+def rect_quad(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
+
+
+class TestLineGrouping:
+    def test_two_lines(self):
+        quads = np.stack(
+            [
+                rect_quad(10, 10, 60, 30),
+                rect_quad(70, 12, 120, 32),  # same line
+                rect_quad(10, 50, 80, 70),  # next line
+            ]
+        )
+        lines = group_words_into_lines(quads)
+        assert len(lines) == 2
+        box0, members0 = lines[0]
+        assert members0 == [0, 1]
+        assert box0[1] == 10 and box0[3] == 32
+        assert lines[1][1] == [2]
+
+    def test_reading_order(self):
+        # Out-of-order input still yields top-to-bottom, left-to-right.
+        quads = np.stack(
+            [
+                rect_quad(70, 50, 120, 70),
+                rect_quad(10, 10, 60, 30),
+                rect_quad(10, 48, 60, 68),
+            ]
+        )
+        lines = group_words_into_lines(quads)
+        assert len(lines) == 2
+        assert lines[0][1] == [1]
+        assert lines[1][1] == [2, 0]
+
+    def test_empty(self):
+        assert group_words_into_lines(np.zeros((0, 4, 2))) == []
+
+
+class TestPipeline:
+    def test_end_to_end_runs(self):
+        det = DetectionModel()
+        rec = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
+        det_vars = det.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)), train=False)
+        rec_vars = rec.init(jax.random.key(1), jnp.zeros((1, 64, 64, 1)), train=False)
+        pipe = OcrPipeline(det_vars, rec_vars, det_size=(128, 96))
+
+        from ocrs_models_tpu.data import SyntheticDetection
+
+        img = SyntheticDetection(size=1, page_size=(256, 192))[0]["image"]
+        result = pipe(img)
+        assert isinstance(result, list)
+        for line in result:
+            assert isinstance(line.text, str)
+            assert len(line.box) == 4
+
+    def test_recognize_lines_buckets(self):
+        det = DetectionModel()
+        rec = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
+        det_vars = det.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)), train=False)
+        rec_vars = rec.init(jax.random.key(1), jnp.zeros((1, 64, 64, 1)), train=False)
+        pipe = OcrPipeline(det_vars, rec_vars, width_step=64)
+
+        img = np.random.default_rng(0).uniform(-0.5, 0.5, (100, 400, 1)).astype(
+            np.float32
+        )
+        boxes = [np.array([5, 5, 100, 30]), np.array([5, 40, 390, 80]),
+                 np.array([0, 0, 1, 1])]  # degenerate box -> ""
+        texts = pipe.recognize_lines(img, boxes)
+        assert len(texts) == 3
+        assert texts[2] == ""

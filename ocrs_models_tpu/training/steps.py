@@ -27,15 +27,31 @@ from ..ops.losses import balanced_cross_entropy_loss, weighted_bce_with_logits
 # ------------------------------ recognition ------------------------------
 
 
-def make_recognition_steps(model, downsample: int = 4):
+def make_recognition_steps(model, downsample: int = 4, mesh=None, axis: str = "data"):
     """Build (train_step, eval_step) for the CRNN recognizer.
 
     Batch fields: ``image`` [N,64,W,1] float, ``text`` [N,L] int32 (blank
     padded), ``text_len`` [N] int32, ``image_width`` [N] int32,
     ``sample_weight`` [N] float32.
+
+    With ``mesh`` of size > 1 the step is built with ``jax.shard_map``
+    (manual SPMD: per-device batch shard, explicit ``psum`` of loss
+    numerator/denominator and gradients, ``pmean`` of batch stats) — this
+    keeps the Pallas GRU kernel a per-device call on TPU. Without a mesh
+    (or size 1) it is a plain jit and GSPMD handles any sharding.
     """
 
-    def loss_and_preds(params, batch_stats, batch, train, rngs=None):
+    use_shard_map = mesh is not None and mesh.size > 1
+    if (
+        use_shard_map
+        and jax.default_backend() == "tpu"
+        and getattr(model, "gru_backend", None) == "auto"
+    ):
+        # Inside shard_map the recurrence is a per-device call, so the
+        # Pallas kernel applies even though the global device count is > 1.
+        model = model.clone(gru_backend="pallas")
+
+    def loss_and_preds(params, batch_stats, batch, train):
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             log_probs, mutated = model.apply(
@@ -52,16 +68,29 @@ def make_recognition_steps(model, downsample: int = 4):
             log_probs, batch["text"], input_lengths, batch["text_len"]
         )
         # torch CTCLoss 'mean': per-sample NLL / target_len, then batch mean
-        # — computed over valid samples only.
+        # — computed over valid samples only (psum'd across shards in the
+        # shard_map path so the denominator is global).
         w = batch["sample_weight"]
         per_sample = nll / jnp.maximum(batch["text_len"], 1)
-        loss = jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+        num = jnp.sum(per_sample * w)
+        den = jnp.sum(w)
+        if use_shard_map:
+            num = jax.lax.psum(num, axis)
+            den = jax.lax.psum(den, axis)
+        loss = num / jnp.maximum(den, 1.0)
         return loss, (log_probs, new_stats)
 
-    def train_step(state, batch, lr):
+    def train_step_core(state, batch, lr):
         (loss, (log_probs, new_stats)), grads = jax.value_and_grad(
             loss_and_preds, has_aux=True
         )(state.params, state.batch_stats, batch, True)
+        if use_shard_map:
+            # Params are replicated: the full gradient is the sum of each
+            # shard's contribution (the loss already has the global
+            # denominator). Batch stats pmean approximates global batch
+            # statistics from per-shard moments.
+            grads = jax.lax.psum(grads, axis)
+            new_stats = jax.lax.pmean(new_stats, axis)
         grad_norm = optax.global_norm(grads)
         state = state.apply_gradients(grads, lr, new_batch_stats=new_stats)
         metrics = {
@@ -71,7 +100,7 @@ def make_recognition_steps(model, downsample: int = 4):
         }
         return state, metrics
 
-    def eval_step(state, batch):
+    def eval_step_core(state, batch):
         loss, (log_probs, _) = loss_and_preds(
             state.params, state.batch_stats, batch, False
         )
@@ -79,6 +108,40 @@ def make_recognition_steps(model, downsample: int = 4):
             "loss": loss,
             "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
         }
+
+    if not use_shard_map:
+        return jax.jit(train_step_core, donate_argnums=0), jax.jit(eval_step_core)
+
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    batch_spec = P(axis)
+
+    def specs_like(tree, spec):
+        return jax.tree.map(lambda _: spec, tree)
+
+    def train_step(state, batch, lr):
+        mapped = jax.shard_map(
+            train_step_core,
+            mesh=mesh,
+            in_specs=(specs_like(state, rep), specs_like(batch, batch_spec), rep),
+            out_specs=(
+                specs_like(state, rep),
+                {"loss": rep, "grad_norm": rep, "preds": batch_spec},
+            ),
+            check_vma=False,
+        )
+        return mapped(state, batch, lr)
+
+    def eval_step(state, batch):
+        mapped = jax.shard_map(
+            eval_step_core,
+            mesh=mesh,
+            in_specs=(specs_like(state, rep), specs_like(batch, batch_spec)),
+            out_specs={"loss": rep, "preds": batch_spec},
+            check_vma=False,
+        )
+        return mapped(state, batch)
 
     return jax.jit(train_step, donate_argnums=0), jax.jit(eval_step)
 

@@ -166,7 +166,7 @@ def main(argv=None):
         export_weights(state, args.export, model="recognition")
         return
 
-    train_step, eval_step = make_recognition_steps(model)
+    train_step, eval_step = make_recognition_steps(model, mesh=mesh)
 
     if args.validate_only:
         val_loss, val_stats = run_epoch(

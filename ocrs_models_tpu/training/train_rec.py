@@ -87,7 +87,8 @@ def run_epoch(
     mean_loss = total_loss / max(n_batches, 1)
     if train:
         print(f"Mean grad norm {total_grad_norm / max(n_batches, 1):.3f}")
-        print(f"Throughput {throughput.last_rate:.0f} crops/sec/chip")
+        if throughput.updates > throughput.warmup:
+            print(f"Throughput {throughput.last_rate:.0f} crops/sec/chip")
         return state, mean_loss, stats
     return mean_loss, stats
 

@@ -44,8 +44,8 @@ def _bn_out(p: Mapping[str, Any], s: Mapping[str, Any], key: str, out: dict) -> 
 
 
 def _depthwise_out(p, s, key: str, out: dict) -> None:
-    _conv_out(p["dw"], f"{key}.seq.0", out, bias=False)
-    _conv_out(p["pw"], f"{key}.seq.1", out, bias=False)
+    out[f"{key}.seq.0.weight"] = _np(p["dw_kernel"]).transpose(3, 2, 0, 1)
+    out[f"{key}.seq.1.weight"] = _np(p["pw_kernel"]).T[:, :, None, None]
     _bn_out(p["bn"], s["bn"], f"{key}.seq.2", out)
 
 

@@ -66,11 +66,13 @@ def _bn(sd: Mapping[str, Any], key: str) -> tuple[dict, dict]:
 
 def _depthwise_block(sd: Mapping[str, Any], key: str) -> tuple[dict, dict]:
     """Reference DepthwiseConv: .seq.0 3x3 grouped conv (no bias), .seq.1
-    1x1 pointwise (no bias), .seq.2 BN."""
+    1x1 pointwise (no bias), .seq.2 BN. The flax block stores the depthwise
+    kernel as HWIO [3,3,1,C] and the pointwise kernel as a [C, O] matrix."""
     bn_p, bn_s = _bn(sd, f"{key}.seq.2")
+    pw = _np(sd[f"{key}.seq.1.weight"])  # [O, C, 1, 1]
     params = {
-        "dw": _conv(sd, f"{key}.seq.0", bias=False),
-        "pw": _conv(sd, f"{key}.seq.1", bias=False),
+        "dw_kernel": _np(sd[f"{key}.seq.0.weight"]).transpose(2, 3, 1, 0),
+        "pw_kernel": pw[:, :, 0, 0].T,
         "bn": bn_p,
     }
     return params, {"bn": bn_s}

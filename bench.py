@@ -10,6 +10,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -17,7 +18,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bench_detection():
+    """Secondary benchmark (manual: `python bench.py --task det`):
+    detection training step images/sec/chip at 800x608 bf16, batch 8."""
+    from ocrs_models_tpu.models import DetectionModel
+    from ocrs_models_tpu.training.state import create_train_state
+    from ocrs_models_tpu.training.steps import make_detection_steps
+
+    n, h, w = 8, 800, 608
+    rng = np.random.default_rng(0)
+    batch = jax.device_put(
+        {
+            "image": rng.uniform(-0.5, 0.5, (n, h, w, 1)).astype(np.float32),
+            "mask": (rng.uniform(size=(n, h, w, 1)) > 0.9).astype(np.float32),
+        }
+    )
+    model = DetectionModel(dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+    step, _ = make_detection_steps(model)
+    lr = jnp.float32(1e-3)
+    state, m = step(state, batch, lr)
+    float(m["loss"])
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, lr)
+    float(m["loss"])
+    elapsed = time.perf_counter() - start
+    print(
+        json.dumps(
+            {
+                "metric": "detection_train_images_per_sec_per_chip",
+                "value": round(n * iters / elapsed, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main():
+    if "--task" in sys.argv and "det" in sys.argv[sys.argv.index("--task") + 1]:
+        bench_detection()
+        return
     from ocrs_models_tpu.config import DEFAULT_ALPHABET
     from ocrs_models_tpu.models import RecognitionModel
     from ocrs_models_tpu.parallel import create_mesh, replicate_tree, shard_batch

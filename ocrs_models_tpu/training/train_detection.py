@@ -121,6 +121,16 @@ def main(argv=None):
         cfg = DetectionTrainConfig(
             mask_height=args.mask_height, mask_width=int(args.mask_height * 0.75)
         )
+    # Fail fast on sizes whose feature pyramid collapses before the bottom
+    # level (6 rounds of 2x pooling) — otherwise the error surfaces only
+    # after minutes of XLA compilation.
+    if min(cfg.mask_height, cfg.mask_width) < 128:
+        parser.exit(
+            1,
+            f"--mask-height {cfg.mask_height} gives mask {cfg.mask_size}; "
+            "both dims must be >= 128 to survive the U-Net's 6 pooling "
+            "levels\n",
+        )
     batch_size = args.batch_size or cfg.batch_size
     seed = cfg.seed
 

@@ -82,6 +82,70 @@ def ctc_greedy_decode_batch(
     return decoded[:, :t], jnp.sum(keep, axis=1)
 
 
+def ctc_beam_search_decode(
+    log_probs: np.ndarray, alphabet: str, beam_width: int = 10
+) -> str:
+    """CTC prefix beam search over per-timestep log-probabilities.
+
+    The reference's docstring names beam search as a decode option
+    (models.py:155-160) but only greedy exists anywhere in its code; this
+    provides the real thing. Host-side (decode is not a throughput path).
+
+    :param log_probs: ``[T, C]`` log-probabilities, class 0 = blank.
+    :param beam_width: number of prefixes kept per step.
+    :return: the most probable label string.
+    """
+    log_probs = np.asarray(log_probs)
+    t_len, n_classes = log_probs.shape
+    NEG = -1e30
+
+    def logsum(a, b):
+        if a <= NEG:
+            return b
+        if b <= NEG:
+            return a
+        m = max(a, b)
+        return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+    # beams: prefix tuple -> (log p ending in blank, log p ending in non-blank)
+    beams: dict[tuple, tuple[float, float]] = {(): (0.0, NEG)}
+    for t in range(t_len):
+        lp = log_probs[t]
+        # Consider blank + the top classes by emission prob for efficiency.
+        top = np.argpartition(-lp, min(beam_width, n_classes - 1))[: beam_width + 1]
+        candidates = set(int(c) for c in top) | {0}
+        new_beams: dict[tuple, tuple[float, float]] = {}
+
+        def add(prefix, pb, pnb):
+            opb, opnb = new_beams.get(prefix, (NEG, NEG))
+            new_beams[prefix] = (logsum(opb, pb), logsum(opnb, pnb))
+
+        for prefix, (pb, pnb) in beams.items():
+            total = logsum(pb, pnb)
+            for c in candidates:
+                p = float(lp[c])
+                if c == 0:
+                    add(prefix, total + p, NEG)
+                    continue
+                last = prefix[-1] if prefix else None
+                if c == last:
+                    # Repeat: extends the blank-ended path only; the
+                    # non-blank-ended path collapses into the same prefix.
+                    add(prefix + (c,), NEG, pb + p)
+                    add(prefix, NEG, pnb + p)
+                else:
+                    add(prefix + (c,), NEG, total + p)
+        beams = dict(
+            sorted(
+                new_beams.items(),
+                key=lambda kv: logsum(*kv[1]),
+                reverse=True,
+            )[:beam_width]
+        )
+    best = max(beams.items(), key=lambda kv: logsum(*kv[1]))[0]
+    return "".join(alphabet[c - 1] for c in best)
+
+
 def levenshtein(a: str, b: str) -> int:
     """Edit distance between two strings (first-party replacement for the
     reference's ``pylev`` dependency, train_rec.py:5,65). Uses the native

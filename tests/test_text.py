@@ -84,3 +84,45 @@ def test_levenshtein_random_vs_reference_dp():
         a = "".join(rng.choice(list("abcde"), size=rng.integers(0, 12)))
         b = "".join(rng.choice(list("abcde"), size=rng.integers(0, 12)))
         assert levenshtein(a, b) == ref(a, b)
+
+
+class TestBeamSearch:
+    def _lp(self, rows):
+        x = np.array(rows, dtype=np.float64)
+        x = np.log(x / x.sum(axis=1, keepdims=True))
+        return x
+
+    def test_matches_greedy_on_peaked_probs(self):
+        from ocrs_models_tpu.utils.text import ctc_beam_search_decode
+
+        # Near-one-hot per step: beam search == greedy path.
+        alphabet = "ab"
+        lp = self._lp([[0.01, 0.98, 0.01], [0.98, 0.01, 0.01], [0.01, 0.01, 0.98]])
+        assert ctc_beam_search_decode(lp, alphabet) == "ab"
+
+    def test_beats_greedy_on_split_mass(self):
+        from ocrs_models_tpu.utils.text import ctc_beam_search_decode
+
+        # Classic case: greedy picks blank at each step ("" after collapse),
+        # but total probability mass of label 'a' paths is higher.
+        alphabet = "a"
+        lp = self._lp([[0.4, 0.6], [0.6, 0.4]])
+        # Greedy: argmax = [a, blank] -> "a"... pick a sharper example:
+        lp = self._lp([[0.5, 0.5], [0.5, 0.5]])
+        out = ctc_beam_search_decode(lp, alphabet, beam_width=4)
+        # P("") = 0.25 (blank,blank); P("a") = 0.75 -> beam must return "a".
+        assert out == "a"
+
+    def test_empty_and_blank_only(self):
+        from ocrs_models_tpu.utils.text import ctc_beam_search_decode
+
+        lp = self._lp([[0.99, 0.01], [0.99, 0.01]])
+        assert ctc_beam_search_decode(lp, "a") == ""
+
+    def test_repeat_needs_blank(self):
+        from ocrs_models_tpu.utils.text import ctc_beam_search_decode
+
+        # a a -> "a" (collapsed); a blank a -> "aa".
+        alphabet = "a"
+        lp = self._lp([[0.05, 0.95], [0.9, 0.1], [0.05, 0.95]])
+        assert ctc_beam_search_decode(lp, alphabet) == "aa"

@@ -105,6 +105,11 @@ def main(argv=None):
     parser.add_argument("--checkpoint", type=str, help="Checkpoint dir to load")
     parser.add_argument("--export", type=str, help="Export weights (.npz or .pt)")
     parser.add_argument("--lr", type=float, help="Initial learning rate")
+    parser.add_argument(
+        "--plateau-patience", type=int, default=None,
+        help="Epochs without val-loss improvement before the LR decays "
+        "(default 3; raise for tiny datasets where epochs are few steps)",
+    )
     parser.add_argument("--max-epochs", type=int)
     parser.add_argument("--max-images", type=int)
     parser.add_argument("--validate-only", action="store_true")
@@ -180,7 +185,13 @@ def main(argv=None):
 
     initial_lr = args.lr or cfg.learning_rate
     scheduler = ReduceLROnPlateau(
-        initial_lr, factor=cfg.plateau_factor, patience=cfg.plateau_patience
+        initial_lr,
+        factor=cfg.plateau_factor,
+        patience=(
+            args.plateau_patience
+            if args.plateau_patience is not None
+            else cfg.plateau_patience
+        ),
     )
     logger = MetricsLogger(
         "text-recognition",

@@ -18,6 +18,8 @@ Implemented with PIL float ('F' mode) images + numpy, operating on
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 from PIL import Image
 
@@ -152,20 +154,47 @@ def resize(img: np.ndarray, size: tuple[int, int], nearest=False) -> np.ndarray:
     return _from_pil(pil)
 
 
+class _PerCallRng:
+    """Deterministic, thread-safe randomness source for augmentations.
+
+    DataLoader fetches samples from a thread pool, so a single shared
+    ``Generator`` would make augmentation order depend on thread scheduling
+    (and Generators are not thread-safe). Each call derives a fresh
+    Generator from ``(seed, index)`` when the dataset provides its sample
+    index, or from ``(seed, call_counter)`` otherwise (thread-safe, though
+    only index-keyed calls are reproducible under concurrency).
+    """
+
+    def __init__(self, seed: int):
+        self.seed = seed
+        self._counter = 0
+        self._lock = threading.Lock()
+
+    def get(self, idx=None) -> np.random.Generator:
+        if idx is None:
+            with self._lock:
+                idx = 1_000_000_007 + self._counter
+                self._counter += 1
+        return np.random.default_rng((self.seed, int(idx)))
+
+
 class RecognitionAugment:
     """Randomized line-crop augmentation (reference datasets/__init__.py:4-30)."""
 
-    def __init__(self, seed: int = 0):
-        self.rng = np.random.default_rng(seed)
+    accepts_index = True  # datasets pass idx= for reproducible augmentation
 
-    def __call__(self, img: np.ndarray) -> np.ndarray:
-        if self.rng.uniform() >= 0.5:
+    def __init__(self, seed: int = 0):
+        self._rng_source = _PerCallRng(seed)
+
+    def __call__(self, img: np.ndarray, idx=None) -> np.ndarray:
+        rng = self._rng_source.get(idx)
+        if rng.uniform() >= 0.5:
             return img
-        choice = self.rng.integers(0, 3)
+        choice = rng.integers(0, 3)
         if choice == 0:
-            return _color_jitter(self.rng, [img])[0]
+            return _color_jitter(rng, [img])[0]
         if choice == 1:
-            return _rotate_expand(self.rng, [img])[0]
+            return _rotate_expand(rng, [img])[0]
         return _pad([img])[0]
 
 
@@ -173,23 +202,28 @@ class DetectionAugment:
     """Joint image+mask augmentation + resize (reference train_detection.py:
     266-290)."""
 
+    accepts_index = True  # datasets pass idx= for reproducible augmentation
+
     def __init__(self, mask_size: tuple[int, int], augment: bool = True, seed: int = 0):
         self.mask_size = mask_size
         self.augment = augment
-        self.rng = np.random.default_rng(seed)
+        self._rng_source = _PerCallRng(seed)
 
-    def __call__(self, img: np.ndarray, mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def __call__(
+        self, img: np.ndarray, mask: np.ndarray, idx=None
+    ) -> tuple[np.ndarray, np.ndarray]:
         imgs = [img, mask]
-        if self.augment and self.rng.uniform() < 0.5:
-            choice = self.rng.integers(0, 4)
+        rng = self._rng_source.get(idx)
+        if self.augment and rng.uniform() < 0.5:
+            choice = rng.integers(0, 4)
             if choice == 0:
-                imgs = _color_jitter(self.rng, imgs)
+                imgs = _color_jitter(rng, imgs)
             elif choice == 1:
-                imgs = _affine(self.rng, imgs)
+                imgs = _affine(rng, imgs)
             elif choice == 2:
-                imgs = _perspective(self.rng, imgs)
+                imgs = _perspective(rng, imgs)
             else:
-                imgs = _random_crop(self.rng, imgs)
+                imgs = _random_crop(rng, imgs)
         img = resize(imgs[0], self.mask_size)
         mask = resize(imgs[1], self.mask_size)
         return img, mask

@@ -78,9 +78,9 @@ def collate_detection(samples: list[dict], batch_multiple: int = 1) -> dict:
     """Collate fixed-size detection samples.
 
     Each sample: ``{"image": [H, W, 1], "mask": [H, W, 1]}``. Rows padding
-    the batch to ``batch_multiple`` replicate the final sample (the balanced
-    BCE pools pixels across the batch, so zero rows would bias it more than
-    duplicates do).
+    the batch to ``batch_multiple`` replicate the final sample so every row
+    is well-formed, but carry ``sample_weight`` 0 and are excluded from the
+    loss.
     """
     n = round_up(len(samples), batch_multiple)
     out_img = np.stack(
@@ -89,7 +89,14 @@ def collate_detection(samples: list[dict], batch_multiple: int = 1) -> dict:
     out_mask = np.stack(
         [samples[min(i, len(samples) - 1)]["mask"] for i in range(n)]
     ).astype(np.float32)
-    batch = {"image": out_img, "mask": out_mask, "n_valid": len(samples)}
+    weight = np.zeros((n,), np.float32)
+    weight[: len(samples)] = 1.0
+    batch = {
+        "image": out_img,
+        "mask": out_mask,
+        "sample_weight": weight,
+        "n_valid": len(samples),
+    }
     paths = [s.get("path") for s in samples]
     if any(p is not None for p in paths):
         batch["path"] = paths
@@ -98,7 +105,7 @@ def collate_detection(samples: list[dict], batch_multiple: int = 1) -> dict:
 
 def collate_layout(samples: list[tuple], batch_multiple: int = 1) -> dict:
     """Collate (boxes [W,4], labels [W,2]) tuples, already padded to a fixed
-    word count by the dataset."""
+    word count by the dataset. Batch-padding rows carry zero weight."""
     n = round_up(len(samples), batch_multiple)
     boxes = np.stack(
         [samples[min(i, len(samples) - 1)][0] for i in range(n)]
@@ -106,4 +113,11 @@ def collate_layout(samples: list[tuple], batch_multiple: int = 1) -> dict:
     labels = np.stack(
         [samples[min(i, len(samples) - 1)][1] for i in range(n)]
     ).astype(np.float32)
-    return {"boxes": boxes, "labels": labels, "n_valid": len(samples)}
+    weight = np.zeros((n,), np.float32)
+    weight[: len(samples)] = 1.0
+    return {
+        "boxes": boxes,
+        "labels": labels,
+        "sample_weight": weight,
+        "n_valid": len(samples),
+    }

@@ -89,5 +89,8 @@ class DDI100:
         h, w = image.shape[:2]
         mask = self._generate_mask(w, h, polys, shrink_dist=self.shrink_dist)[..., None]
         if self.transform:
-            image, mask = self.transform(image, mask)
+            if getattr(self.transform, "accepts_index", False):
+                image, mask = self.transform(image, mask, idx=idx)
+            else:
+                image, mask = self.transform(image, mask)
         return {"image": image, "mask": mask, "path": img_path}

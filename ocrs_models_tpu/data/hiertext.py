@@ -179,7 +179,10 @@ class HierTextDetection:
         h, w = image.shape[:2]
         mask = generate_mask(w, h, word_polys, shrink_dist=self.shrink_dist)[..., None]
         if self.transform:
-            image, mask = self.transform(image, mask)
+            if getattr(self.transform, "accepts_index", False):
+                image, mask = self.transform(image, mask, idx=idx)
+            else:
+                image, mask = self.transform(image, mask)
         return {"image": image, "mask": mask, "path": img_path}
 
 
@@ -257,7 +260,11 @@ class HierTextRecognition:
         image = image * mask + (-0.5) * (1.0 - mask)
 
         if self.transform:
-            image = np.clip(self.transform(image), -0.5, 0.5)
+            if getattr(self.transform, "accepts_index", False):
+                image = self.transform(image, idx=idx)
+            else:
+                image = self.transform(image)
+            image = np.clip(image, -0.5, 0.5)
             h, w = image.shape[:2]
 
         # Aspect-preserving resize to the model height; width clamped to

@@ -73,6 +73,18 @@ class DataLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # Never block forever on a full queue: an abandoned consumer
+            # (exception mid-epoch, partial iteration) sets `stop` from its
+            # finally, and the producer must observe it to exit.
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             from concurrent.futures import ThreadPoolExecutor
 
@@ -84,10 +96,11 @@ class DataLoader:
                         samples = list(
                             pool.map(lambda i: self.dataset[int(i)], idx_batch)
                         )
-                        out_q.put(self.collate_fn(samples))
-                out_q.put(None)
+                        if not put_or_stop(self.collate_fn(samples)):
+                            return
+                put_or_stop(None)
             except BaseException as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                put_or_stop(e)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

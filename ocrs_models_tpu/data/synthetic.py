@@ -66,7 +66,11 @@ class SyntheticRecognition:
         arr = np.asarray(img, dtype=np.float32) / 255.0 - 0.5
         arr = arr[..., None]
         if self.transform is not None:
-            arr = np.clip(self.transform(arr), -0.5, 0.5)
+            if getattr(self.transform, "accepts_index", False):
+                arr = self.transform(arr, idx=idx)
+            else:
+                arr = self.transform(arr)
+            arr = np.clip(arr, -0.5, 0.5)
             # Re-normalize height after size-changing augmentations.
             if arr.shape[0] != h:
                 from .augment import resize
@@ -127,7 +131,10 @@ class SyntheticDetection:
         image = (np.clip(img, 0, 255) / 255.0 - 0.5).astype(np.float32)[..., None]
         mask = generate_mask(w, h, polys, shrink_dist=self.shrink_dist)[..., None]
         if self.transform is not None:
-            image, mask = self.transform(image, mask)
+            if getattr(self.transform, "accepts_index", False):
+                image, mask = self.transform(image, mask, idx=idx)
+            else:
+                image, mask = self.transform(image, mask)
         return {"image": image, "mask": mask, "path": f"synthetic://{idx}"}
 
 

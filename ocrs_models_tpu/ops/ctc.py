@@ -50,9 +50,14 @@ def ctc_loss_forward(
     # Emission log-probs for every (t, extended position) hoisted out of the
     # recurrence as one batched one-hot matmul (MXU-friendly; a per-step
     # take_along_axis gather is a slow generic gather on TPU).
+    # Precision HIGHEST keeps the log-prob operand fp32 on the MXU (the
+    # default would round it to bf16, a ~1e-3 absolute loss error — larger
+    # than the plateau scheduler's 1e-4 relative threshold); the matmul is
+    # tiny relative to the model so the fp32 passes are free.
     ext_onehot = jax.nn.one_hot(ext, c, dtype=log_probs.dtype)  # [N, S, C]
     emit = jnp.einsum(
         "ntc,nsc->tns", log_probs, ext_onehot,
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # [T, N, S]
 

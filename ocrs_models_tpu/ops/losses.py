@@ -14,20 +14,31 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def balanced_cross_entropy_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def balanced_cross_entropy_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, sample_weight: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Balanced BCE between probability maps.
 
-    :param pred: ``[...]`` tensor of probabilities (sigmoid outputs).
+    :param pred: ``[N, ...]`` tensor of probabilities (sigmoid outputs).
     :param target: same-shape tensor of targets (approximately binary;
         augmentation can push values slightly outside [0, 1]).
+    :param sample_weight: optional ``[N]`` per-sample 0/1 weights; zero rows
+        (batch padding) contribute no pixels to either class pool.
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
 
     pos_mask = target > 0.5
     neg_mask = target < 0.5
+    if sample_weight is not None:
+        valid = (sample_weight > 0).reshape(
+            (-1,) + (1,) * (target.ndim - 1)
+        )
+        pos_mask = pos_mask & valid
+        neg_mask = neg_mask & valid
     target_c = jnp.clip(target, 0.0, 1.0)
 
     eps = 1e-12
@@ -82,15 +93,24 @@ def _top_k_sum(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
 
 def weighted_bce_with_logits(
-    logits: jnp.ndarray, targets: jnp.ndarray, pos_weight: float
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    pos_weight: float,
+    sample_weight: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """``BCEWithLogitsLoss(pos_weight=w)`` semantics (reference
     train_layout.py:94-97): the positive term is scaled by ``pos_weight``,
-    mean reduction over all elements."""
+    mean reduction over all elements. ``sample_weight`` ([N] 0/1) excludes
+    batch-padding rows from the mean."""
     logits = logits.astype(jnp.float32)
     targets = targets.astype(jnp.float32)
     # Numerically stable log-sigmoid formulation.
     log_sig = -jnp.logaddexp(0.0, -logits)
     log_one_minus_sig = -jnp.logaddexp(0.0, logits)
     loss = -(pos_weight * targets * log_sig + (1.0 - targets) * log_one_minus_sig)
-    return jnp.mean(loss)
+    if sample_weight is None:
+        return jnp.mean(loss)
+    w = sample_weight.reshape((-1,) + (1,) * (loss.ndim - 1))
+    per_sample_els = np.prod(loss.shape[1:]) if loss.ndim > 1 else 1
+    denom = jnp.maximum(jnp.sum(sample_weight) * per_sample_els, 1.0)
+    return jnp.sum(loss * w) / denom

@@ -152,7 +152,8 @@ def make_recognition_steps(model, downsample: int = 4, mesh=None, axis: str = "d
 def make_detection_steps(model):
     """Build (train_step, eval_step) for the U-Net detector.
 
-    Batch fields: ``image`` [N,H,W,1], ``mask`` [N,H,W,1].
+    Batch fields: ``image`` [N,H,W,1], ``mask`` [N,H,W,1], optional
+    ``sample_weight`` [N] excluding batch-padding rows from the loss.
     """
 
     def loss_fn(params, batch_stats, batch, train):
@@ -165,7 +166,9 @@ def make_detection_steps(model):
         else:
             pred = model.apply(variables, batch["image"], train=False)
             new_stats = batch_stats
-        loss = balanced_cross_entropy_loss(pred, batch["mask"])
+        loss = balanced_cross_entropy_loss(
+            pred, batch["mask"], batch.get("sample_weight")
+        )
         return loss, (pred, new_stats)
 
     def train_step(state, batch, lr):
@@ -200,7 +203,9 @@ def make_layout_steps(model, pos_weight: float = 10.0):
             train=train,
             rngs={"dropout": rng} if train else None,
         )
-        loss = weighted_bce_with_logits(logits, batch["labels"], pos_weight)
+        loss = weighted_bce_with_logits(
+            logits, batch["labels"], pos_weight, batch.get("sample_weight")
+        )
         return loss, logits
 
     def train_step(state, batch, lr, rng):

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DetectionTrainConfig
+from ..config import DetectionModelConfig, DetectionTrainConfig, MeshConfig
 from ..data import DataLoader, SyntheticDetection, collate_detection
 from ..data.augment import DetectionAugment
 from ..geometry import box_match_metrics, extract_cc_quads
@@ -158,7 +158,10 @@ def main(argv=None):
             transform=val_transform,
         )
 
-    mesh = create_mesh(num_devices=args.num_devices)
+    mesh_cfg = MeshConfig()
+    mesh = create_mesh(
+        num_devices=args.num_devices or mesh_cfg.num_devices, axis=mesh_cfg.data_axis
+    )
     collate = lambda s: collate_detection(s, batch_multiple=mesh.size)  # noqa: E731
     train_loader = DataLoader(
         train_ds, batch_size, collate, shuffle=True, seed=seed, num_threads=2
@@ -167,7 +170,11 @@ def main(argv=None):
     print(f"Training dataset: images {len(train_ds)} in {len(train_loader)} batches")
     print(f"Validation dataset: images {len(val_ds)} in {len(val_loader)} batches")
 
-    model = DetectionModel(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    mcfg = DetectionModelConfig()
+    model = DetectionModel(
+        depth_scale=mcfg.depth_scale,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
     state = create_train_state(model, jax.random.key(seed), jnp.zeros((1, 64, 64, 1)))
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     print(f"Model param count: {n_params}")

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import LayoutTrainConfig
+from ..config import LayoutModelConfig, LayoutTrainConfig, MeshConfig
 from ..data import DataLoader, SyntheticLayout, collate_layout
 from ..models import LayoutModel
 from ..parallel import create_mesh, replicate_tree, shard_batch
@@ -82,12 +82,23 @@ def main(argv=None):
             padded_size=cfg.n_words, train=False,
         )
 
-    mesh = create_mesh(num_devices=args.num_devices)
+    mesh_cfg = MeshConfig()
+    mesh = create_mesh(
+        num_devices=args.num_devices or mesh_cfg.num_devices, axis=mesh_cfg.data_axis
+    )
     collate = lambda s: collate_layout(s, batch_multiple=mesh.size)  # noqa: E731
     train_loader = DataLoader(train_ds, batch_size, collate, shuffle=True, seed=seed)
     val_loader = DataLoader(val_ds, batch_size, collate, shuffle=True, seed=seed)
 
-    model = LayoutModel(pos_embedding="sin")
+    mcfg = LayoutModelConfig()
+    model = LayoutModel(
+        n_classes=mcfg.n_classes,
+        d_model=mcfg.d_model,
+        n_layers=mcfg.n_layers,
+        n_heads=mcfg.n_heads,
+        d_ff=mcfg.d_feedforward,
+        pos_embedding=mcfg.pos_embedding,
+    )
     state = create_train_state(model, jax.random.key(seed), jnp.zeros((1, 8, 4)))
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     print(f"Model param count {n_params}")

@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DEFAULT_ALPHABET, RecognitionTrainConfig
+from ..config import (
+    DEFAULT_ALPHABET,
+    MeshConfig,
+    RecognitionModelConfig,
+    RecognitionTrainConfig,
+)
 from ..data import DataLoader, SyntheticRecognition, collate_recognition
 from ..data.augment import RecognitionAugment
 from ..models import RecognitionModel
@@ -106,9 +111,11 @@ def main(argv=None):
     parser.add_argument("--export", type=str, help="Export weights (.npz or .pt)")
     parser.add_argument("--lr", type=float, help="Initial learning rate")
     parser.add_argument(
-        "--plateau-patience", type=int, default=None,
+        "--plateau-patience",
+        type=int,
+        default=RecognitionTrainConfig().plateau_patience,
         help="Epochs without val-loss improvement before the LR decays "
-        "(default 3; raise for tiny datasets where epochs are few steps)",
+        "(raise for tiny datasets where epochs are few steps)",
     )
     parser.add_argument("--max-epochs", type=int)
     parser.add_argument("--max-images", type=int)
@@ -139,7 +146,10 @@ def main(argv=None):
         )
         val_ds = SyntheticRecognition(size=val_max or 64, seed=seed + 1)
 
-    mesh = create_mesh(num_devices=args.num_devices)
+    mesh_cfg = MeshConfig()
+    mesh = create_mesh(
+        num_devices=args.num_devices or mesh_cfg.num_devices, axis=mesh_cfg.data_axis
+    )
     collate = lambda s: collate_recognition(  # noqa: E731
         s, width_step=cfg.width_step, batch_multiple=mesh.size, max_width=cfg.max_width
     )
@@ -148,8 +158,11 @@ def main(argv=None):
     )
     val_loader = DataLoader(val_ds, batch_size, collate, shuffle=True, seed=seed)
 
+    mcfg = RecognitionModelConfig()
     model = RecognitionModel(
-        n_classes=len(DEFAULT_ALPHABET) + 1,
+        n_classes=mcfg.n_classes,
+        gru_hidden=mcfg.gru_hidden,
+        gru_layers=mcfg.gru_layers,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     state = create_train_state(
@@ -185,13 +198,7 @@ def main(argv=None):
 
     initial_lr = args.lr or cfg.learning_rate
     scheduler = ReduceLROnPlateau(
-        initial_lr,
-        factor=cfg.plateau_factor,
-        patience=(
-            args.plateau_patience
-            if args.plateau_patience is not None
-            else cfg.plateau_patience
-        ),
+        initial_lr, factor=cfg.plateau_factor, patience=args.plateau_patience
     )
     logger = MetricsLogger(
         "text-recognition",

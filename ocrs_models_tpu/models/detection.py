@@ -21,6 +21,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Levels with at most this many channels run channels-first.
 _CHANNELS_FIRST_MAX = 32
@@ -30,6 +31,62 @@ def _dw_init(key, shape, dtype=jnp.float32):
     # lecun_normal over the depthwise kernel's receptive field (fan_in = 9),
     # matching nn.Conv's default for grouped kernels.
     return nn.initializers.lecun_normal()(key, shape, dtype)
+
+
+class BatchNormLite(nn.Module):
+    """Batch norm with float32 statistics but activation-dtype traffic.
+
+    ``nn.BatchNorm(dtype=float32)`` forces every normalize pass to move f32
+    activations — at 800x600 that traffic dominates the detection step.
+    Here the batch statistics (and running stats, torch momentum/eps
+    semantics) are computed in f32 from the bf16 activations, but the
+    normalize/affine math runs in the activation dtype. Parameter and
+    batch-stats tree structure matches nn.BatchNorm (scale/bias, mean/var)
+    so checkpoints are interchangeable.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis: int = -1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+        ax = self.axis % x.ndim
+        c = x.shape[ax]
+        reduce_axes = tuple(i for i in range(x.ndim) if i != ax)
+        shape = tuple(c if i == ax else 1 for i in range(x.ndim))
+
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = np.prod([x.shape[i] for i in reduce_axes])
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+                )
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        # Fold the f32 scalars, then apply in the activation dtype: the big
+        # tensors never round-trip through f32 HBM traffic.
+        inv_c = inv.reshape(shape).astype(x.dtype)
+        bias_c = (bias - mean * inv).reshape(shape).astype(x.dtype)
+        return x * inv_c + bias_c
 
 
 class DepthwiseConv(nn.Module):
@@ -72,7 +129,7 @@ class DepthwiseConv(nn.Module):
             # Pointwise over the channel axis; spatial stays on lanes.
             xc = jnp.einsum(
                 "nchw,co->nohw", out, wp, preferred_element_type=jnp.float32
-            )
+            ).astype(dt)
             bn_axis = 1
         else:
             xc = jax.lax.conv_general_dilated(
@@ -85,18 +142,13 @@ class DepthwiseConv(nn.Module):
             )
             xc = jnp.einsum(
                 "nhwc,co->nhwo", xc, wp, preferred_element_type=jnp.float32
-            )
+            ).astype(dt)
             bn_axis = -1
 
-        xc = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis=bn_axis,
-            dtype=jnp.float32,
-            name="bn",
-        )(xc)
-        return nn.relu(xc).astype(dt)
+        xc = BatchNormLite(momentum=0.9, epsilon=1e-5, axis=bn_axis, name="bn")(
+            xc, use_running_average=not train
+        )
+        return nn.relu(xc)
 
 
 class DoubleConv(nn.Module):

@@ -65,21 +65,10 @@ def _tile_rows(h: int) -> int:
     return h
 
 
-def _halo_tiles(x_pad: jnp.ndarray, th: int, n_tiles: int) -> jnp.ndarray:
-    """[N, C, H+2, W'] -> [N, n_tiles, C, th+2, W'] overlapping row bands."""
-    bands = [
-        jax.lax.dynamic_slice_in_dim(x_pad, i * th, th + 2, axis=2)
-        for i in range(n_tiles)
-    ]
-    return jnp.stack(bands, axis=1)
-
-
 def _row_tiles(x: jnp.ndarray, th: int, n_tiles: int) -> jnp.ndarray:
     """[N, C, H, W'] -> [N, n_tiles, C, th, W'] disjoint row bands."""
     n, c, h, w = x.shape
-    return x.reshape(n, n_tiles, th, c, w) if False else x.reshape(
-        n, c, n_tiles, th, w
-    ).transpose(0, 2, 1, 3, 4)
+    return x.reshape(n, c, n_tiles, th, w).transpose(0, 2, 1, 3, 4)
 
 
 def _tap_weight(wd_ref, dy, dx):

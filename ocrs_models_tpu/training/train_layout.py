@@ -12,7 +12,7 @@ Usage:
 
 from __future__ import annotations
 
-from argparse import ArgumentParser
+from argparse import ArgumentParser, BooleanOptionalAction
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,10 @@ def main(argv=None):
     parser.add_argument("--validate-only", action="store_true")
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument(
+        "--bf16", default=True, action=BooleanOptionalAction,
+        help="bfloat16 encoder matmuls (norms/softmax stay fp32)",
+    )
     args = parser.parse_args(argv)
 
     cfg = LayoutTrainConfig()
@@ -98,6 +102,7 @@ def main(argv=None):
         n_heads=mcfg.n_heads,
         d_ff=mcfg.d_feedforward,
         pos_embedding=mcfg.pos_embedding,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     state = create_train_state(model, jax.random.key(seed), jnp.zeros((1, 8, 4)))
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))

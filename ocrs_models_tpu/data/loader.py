@@ -121,11 +121,16 @@ class DataLoader:
 
 
 def device_prefetch(iterator: Iterator[dict], put_fn: Callable, depth: int = 2):
-    """Wrap a host-batch iterator so device transfer overlaps compute: keeps
-    ``depth`` batches in flight on device."""
+    """Wrap a host-batch iterator so device transfer overlaps compute.
+
+    Yields ``(host_batch, device_batch)`` pairs with up to ``depth`` device
+    batches in flight (``jax.device_put`` is async, so transfers for
+    upcoming batches proceed while the current step computes); the host
+    batch stays available for host-side metrics (decoding, CER).
+    """
     buf: list = []
     for batch in iterator:
-        buf.append(put_fn(batch))
+        buf.append((batch, put_fn(batch)))
         if len(buf) >= depth:
             yield buf.pop(0)
     while buf:

@@ -55,6 +55,7 @@ def preview_predictions(batch, preds, alphabet: str, tag: str, limit: int = 10):
 def run_epoch(
     loader, mesh, state, step_fn, alphabet, lr=None, epoch=0, train=True
 ):
+    from ..data.loader import device_prefetch
     from ..utils.profiling import Throughput
 
     stats = RecognitionAccuracyStats(alphabet)
@@ -62,8 +63,10 @@ def run_epoch(
     total_loss = 0.0
     total_grad_norm = 0.0
     n_batches = 0
-    for batch_idx, batch in enumerate(loader):
-        sharded = shard_batch(batch, mesh)
+    prefetched = device_prefetch(
+        iter(loader), put_fn=lambda b: shard_batch(b, mesh), depth=2
+    )
+    for batch_idx, (batch, sharded) in enumerate(prefetched):
         if train:
             state, metrics = step_fn(state, sharded, jnp.float32(lr))
         else:

@@ -186,3 +186,29 @@ class TestWebLayout:
         assert labels.shape == (10, 2)
         assert np.all(boxes[5:] == 0)
         assert np.abs(boxes[:5]).max() <= 0.5
+
+
+class TestDatasetAugmentSeam:
+    def test_hiertext_detection_with_augment_is_deterministic(self, hiertext_root):
+        from ocrs_models_tpu.data.augment import DetectionAugment
+        from ocrs_models_tpu.data.hiertext import HierTextDetection
+
+        t1 = DetectionAugment((192, 144), augment=True, seed=7)
+        t2 = DetectionAugment((192, 144), augment=True, seed=7)
+        ds1 = HierTextDetection(hiertext_root, train=True, transform=t1)
+        ds2 = HierTextDetection(hiertext_root, train=True, transform=t2)
+        s1, s2 = ds1[1], ds2[1]
+        assert s1["image"].shape == (192, 144, 1)
+        np.testing.assert_array_equal(s1["image"], s2["image"])
+        np.testing.assert_array_equal(s1["mask"], s2["mask"])
+
+    def test_hiertext_recognition_with_augment(self, hiertext_root):
+        from ocrs_models_tpu.data.augment import RecognitionAugment
+        from ocrs_models_tpu.data.hiertext import HierTextRecognition
+
+        ds = HierTextRecognition(
+            hiertext_root, train=True, transform=RecognitionAugment(seed=3)
+        )
+        s = ds[0]
+        assert s["image"].shape[0] == 64
+        assert s["image"].min() >= -0.5 and s["image"].max() <= 0.5

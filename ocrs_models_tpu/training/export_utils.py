@@ -8,8 +8,10 @@ writes, by extension:
 - ``.pt``: a reference-format torch checkpoint ``{epoch, model_state,
   optimizer_state}``; feed it to the reference's own ``--export`` to get
   ONNX/rten artifacts with exact numerics (requires torch).
-- ``.onnx``: direct ONNX emission when the ``onnx`` package is available
-  (not in this image; gated).
+- ``.onnx``: direct first-party ONNX emission (no ``onnx``/torch package
+  needed) with the reference's input/output names, dynamic axes, and
+  opset 16 (reference train_detection.py:398-405, train_rec.py:396-409,
+  train_layout.py:255-269). See :mod:`ocrs_models_tpu.export.onnx_graph`.
 """
 
 from __future__ import annotations
@@ -57,8 +59,21 @@ def export_weights(state, path: str, model: str, epoch: int = 0, **model_kwargs)
         return
 
     if path.endswith(".onnx"):
-        raise NotImplementedError(
-            "Direct ONNX emission requires the onnx package; export to .pt "
-            "and run the reference's --export path instead."
-        )
-    raise ValueError(f"Unknown export format for {path} (use .npz or .pt)")
+        from ..export import onnx_graph, torch_export
+
+        exporter = {
+            "detection": torch_export.export_detection_state_dict,
+            "recognition": torch_export.export_recognition_state_dict,
+            "layout": torch_export.export_layout_state_dict,
+        }[model]
+        builder = {
+            "detection": onnx_graph.build_detection_onnx,
+            "recognition": onnx_graph.build_recognition_onnx,
+            "layout": onnx_graph.build_layout_onnx,
+        }[model]
+        sd = exporter(variables)
+        with open(path, "wb") as f:
+            f.write(builder(sd, **model_kwargs))
+        print(f"Exported ONNX model to {path} (first-party emission, opset 16)")
+        return
+    raise ValueError(f"Unknown export format for {path} (use .npz, .pt or .onnx)")

@@ -1,0 +1,502 @@
+"""Measured cross-framework parity experiment (the <=1% CER/IoU gate).
+
+BASELINE.json's north star demands CER / detection-IoU parity (<=1% delta)
+against reference checkpoints. The published HuggingFace checkpoints are
+not downloadable on this rig (zero egress), so this tool runs the full
+controlled experiment offline instead:
+
+1. Build a deterministic synthetic corpus (identical pixels/batches for
+   both frameworks — the batch stream is materialized once in numpy).
+2. Train the *reference* torch model (/root/reference imported as an
+   oracle, never vendored) with the reference recipe
+   (train_rec.py:85-160: Adam 1e-3, CTCLoss W//4, grad-clip 4.0;
+   train_detection.py:66-116: Adam default, balanced BCE).
+3. Import the torch checkpoint into the Flax models and evaluate BOTH
+   frameworks on the same validation batches with shared metric code —
+   the measured CER / IoU / box-metric deltas are the parity gate.
+4. Train the Flax model on the identical batch stream, export to a
+   reference-format ``.pt`` checkpoint, load into the torch model, and
+   measure the reverse-direction deltas.
+
+Writes ``PARITY.json`` at the repo root. Stages cache to ``parity_runs/``.
+
+Usage:
+    PYTHONPATH=/root/repo:/root/reference python tools/parity_experiment.py \
+        --task all --rec-epochs 10 --det-epochs 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
+
+from ocrs_models_tpu.config import DEFAULT_ALPHABET  # noqa: E402
+from ocrs_models_tpu.data.collate import collate_detection, collate_recognition  # noqa: E402
+from ocrs_models_tpu.data.synthetic import SyntheticDetection, SyntheticRecognition  # noqa: E402
+from ocrs_models_tpu.utils.metrics import RecognitionAccuracyStats  # noqa: E402
+
+REC_BATCH = 16
+DET_BATCH = 4
+DET_PAGE = (320, 256)  # (H, W): small enough for torch-CPU training
+SEED = 1234
+
+
+# --------------------------------------------------------------------------
+# Deterministic batch streams (shared verbatim by both frameworks)
+# --------------------------------------------------------------------------
+
+
+def rec_batches(n_train: int, n_val: int, epochs: int):
+    """Returns (train_epochs: list[list[batch]], val: list[batch])."""
+    ds = SyntheticRecognition(size=n_train + n_val, seed=7, max_chars=10)
+    samples = [ds[i] for i in range(len(ds))]
+    train, val = samples[:n_train], samples[n_train:]
+
+    def batches(items):
+        return [
+            collate_recognition(items[i : i + REC_BATCH], width_step=256)
+            for i in range(0, len(items) - REC_BATCH + 1, REC_BATCH)
+        ]
+
+    epoch_batches = []
+    for e in range(epochs):
+        perm = np.random.default_rng(SEED + e).permutation(len(train))
+        epoch_batches.append(batches([train[i] for i in perm]))
+    return epoch_batches, batches(val)
+
+
+def det_batches(n_train: int, n_val: int, epochs: int):
+    ds = SyntheticDetection(size=n_train + n_val, page_size=DET_PAGE, seed=7)
+    samples = [ds[i] for i in range(len(ds))]
+    train, val = samples[:n_train], samples[n_train:]
+
+    def batches(items):
+        return [
+            collate_detection(items[i : i + DET_BATCH])
+            for i in range(0, len(items) - DET_BATCH + 1, DET_BATCH)
+        ]
+
+    epoch_batches = []
+    for e in range(epochs):
+        perm = np.random.default_rng(SEED + e).permutation(len(train))
+        epoch_batches.append(batches([train[i] for i in perm]))
+    return epoch_batches, batches(val)
+
+
+# --------------------------------------------------------------------------
+# Shared metrics (one implementation evaluates both frameworks)
+# --------------------------------------------------------------------------
+
+
+def rec_cer(preds_tn: np.ndarray, batch: dict, downsample: int = 4) -> tuple:
+    """(edits, chars) on valid samples; preds_tn is [N, T] argmax indices."""
+    stats = RecognitionAccuracyStats(DEFAULT_ALPHABET)
+    keep = batch["sample_weight"] > 0
+    stats.update(
+        batch["text"][keep],
+        batch["text_len"][keep],
+        preds_tn[keep],
+        batch["image_width"][keep] // downsample,
+    )
+    return stats.char_errors, stats.total_chars
+
+
+def det_box_metrics(prob: np.ndarray, target: np.ndarray) -> dict:
+    """Box-level precision/recall via the shared geometry kit (the same code
+    path the detection val loop uses; reference train_detection.py:181-184)."""
+    from ocrs_models_tpu.geometry import box_match_metrics, expand_quads, extract_cc_quads
+
+    pred_quads = expand_quads(extract_cc_quads(prob[..., 0] > 0.5), dist=3.0)
+    target_quads = expand_quads(extract_cc_quads(target[..., 0] > 0.5), dist=3.0)
+    return box_match_metrics(pred_quads, target_quads)
+
+
+def det_eval(probs: list[np.ndarray], targets: list[np.ndarray]) -> dict:
+    per_page = [det_box_metrics(p, t) for p, t in zip(probs, targets)]
+    keys = ("precision", "recall")
+    return {k: float(np.mean([m[k] for m in per_page])) for k in keys}
+
+
+# --------------------------------------------------------------------------
+# Torch (reference) side
+# --------------------------------------------------------------------------
+
+
+def torch_balanced_bce(pred, target):
+    """Reference loss semantics (train_detection.py:225-263): per-pixel BCE,
+    then the mean over the top-k pos and top-k neg pixels, k = min(#pos, #neg).
+    Re-derived here for the harness; not imported (train_detection.py pulls
+    in torchvision, absent on this rig)."""
+    import torch
+    import torch.nn.functional as F
+
+    pos = target > 0.5
+    neg = target < 0.5
+    pixel = F.binary_cross_entropy(pred, target.clamp(0, 1), reduction="none")
+    k = int(min(pos.sum().item(), neg.sum().item()))
+    top_pos = (pixel * pos).flatten().topk(k=k, sorted=False).values
+    top_neg = (pixel * neg).flatten().topk(k=k, sorted=False).values
+    return torch.cat([top_pos, top_neg]).mean()
+
+
+def torch_rec_train(epoch_batches, val, out_ckpt: str, lr: float = 1e-3) -> dict:
+    import torch
+    from ocrs_models.models import RecognitionModel as TorchRec
+
+    torch.manual_seed(SEED)
+    model = TorchRec(alphabet=DEFAULT_ALPHABET)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    ctc = torch.nn.CTCLoss()
+
+    t0 = time.time()
+    for e, batches in enumerate(epoch_batches):
+        model.train()
+        losses = []
+        for b in batches:
+            keep = b["sample_weight"] > 0  # reference drops CTC-bad samples
+            img = torch.tensor(b["image"][keep].transpose(0, 3, 1, 2))
+            text = torch.tensor(b["text"][keep].astype(np.int64))
+            tlen = torch.tensor(b["text_len"][keep].astype(np.int64))
+            ilen = torch.tensor((b["image_width"][keep] // 4).astype(np.int64))
+            pred = model(img)  # [T, N, C] log-probs
+            loss = ctc(pred, text, ilen, tlen)
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), max_norm=4.0)
+            opt.step()
+            losses.append(loss.item())
+        print(
+            f"[torch rec] epoch {e}: loss {np.mean(losses):.4f} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    torch.save({"epoch": len(epoch_batches), "model_state": model.state_dict()}, out_ckpt)
+    return {"cer": torch_rec_eval(model, val)}
+
+
+def torch_rec_eval(model, val) -> float:
+    import torch
+
+    model.eval()
+    edits = chars = 0
+    with torch.no_grad():
+        for b in val:
+            img = torch.tensor(b["image"].transpose(0, 3, 1, 2))
+            pred = model(img)  # [T, N, C]
+            preds_tn = pred.argmax(-1).numpy().T  # [N, T]
+            e, c = rec_cer(preds_tn, b)
+            edits += e
+            chars += c
+    return edits / max(chars, 1)
+
+
+def torch_det_train(epoch_batches, out_ckpt: str) -> None:
+    import torch
+    from ocrs_models.models import DetectionModel as TorchDet
+
+    torch.manual_seed(SEED)
+    model = TorchDet()
+    opt = torch.optim.Adam(model.parameters())  # reference: default lr
+
+    t0 = time.time()
+    for e, batches in enumerate(epoch_batches):
+        model.train()
+        losses = []
+        for b in batches:
+            keep = b["sample_weight"] > 0
+            img = torch.tensor(b["image"][keep].transpose(0, 3, 1, 2))
+            mask = torch.tensor(b["mask"][keep].transpose(0, 3, 1, 2))
+            pred = model(img)
+            loss = torch_balanced_bce(pred, mask)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            losses.append(loss.item())
+        print(
+            f"[torch det] epoch {e}: loss {np.mean(losses):.4f} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    torch.save({"epoch": len(epoch_batches), "model_state": model.state_dict()}, out_ckpt)
+
+
+def torch_det_probs(sd, val) -> list[np.ndarray]:
+    import torch
+    from ocrs_models.models import DetectionModel as TorchDet
+
+    model = TorchDet()
+    model.load_state_dict(sd)
+    model.eval()
+    probs = []
+    with torch.no_grad():
+        for b in val:
+            img = torch.tensor(b["image"].transpose(0, 3, 1, 2))
+            p = model(img).numpy().transpose(0, 2, 3, 1)
+            probs.extend(p[i] for i in range(p.shape[0]) if b["sample_weight"][i] > 0)
+    return probs
+
+
+# --------------------------------------------------------------------------
+# Flax side
+# --------------------------------------------------------------------------
+
+
+def flax_rec_eval_from_ckpt(ckpt_path: str, val) -> float:
+    import torch
+
+    import jax.numpy as jnp
+
+    from ocrs_models_tpu.export import import_recognition_state_dict
+    from ocrs_models_tpu.models import RecognitionModel
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)["model_state"]
+    variables = import_recognition_state_dict(sd)
+    model = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
+    edits = chars = 0
+    for b in val:
+        log_probs = model.apply(variables, jnp.asarray(b["image"]), train=False)
+        preds_tn = np.asarray(jnp.argmax(log_probs, -1))  # [N, T]
+        e, c = rec_cer(preds_tn, b)
+        edits += e
+        chars += c
+    return edits / max(chars, 1)
+
+
+def flax_rec_train(epoch_batches, val, out_pt: str, lr: float = 1e-3) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ocrs_models_tpu.models import RecognitionModel
+    from ocrs_models_tpu.training.export_utils import export_weights
+    from ocrs_models_tpu.training.state import create_train_state
+    from ocrs_models_tpu.training.steps import make_recognition_steps
+
+    model = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
+    state = create_train_state(
+        model, jax.random.key(SEED), jnp.zeros((1, 64, 64, 1)), grad_clip_norm=4.0
+    )
+    train_step, eval_step = make_recognition_steps(model)
+    t0 = time.time()
+    for e, batches in enumerate(epoch_batches):
+        losses = []
+        for b in batches:
+            state, m = train_step(state, {k: jnp.asarray(v) for k, v in b.items()}, lr)
+            losses.append(float(m["loss"]))
+        print(
+            f"[flax rec] epoch {e}: loss {np.mean(losses):.4f} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+
+    edits = chars = 0
+    for b in val:
+        m = eval_step(state, {k: jnp.asarray(v) for k, v in b.items()})
+        e_, c = rec_cer(np.asarray(m["preds"]), b)
+        edits += e_
+        chars += c
+    export_weights(state, out_pt, "recognition")
+    return {"cer": edits / max(chars, 1)}
+
+
+def flax_det_probs_from_ckpt(ckpt_path: str, val) -> tuple:
+    import torch
+
+    import jax.numpy as jnp
+
+    from ocrs_models_tpu.export import import_detection_state_dict
+    from ocrs_models_tpu.models import DetectionModel
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)["model_state"]
+    variables = import_detection_state_dict(sd)
+    model = DetectionModel()
+    probs, targets = [], []
+    for b in val:
+        p = np.asarray(model.apply(variables, jnp.asarray(b["image"]), train=False))
+        for i in range(p.shape[0]):
+            if b["sample_weight"][i] > 0:
+                probs.append(p[i])
+                targets.append(b["mask"][i])
+    return probs, targets
+
+
+def flax_det_train(epoch_batches, out_pt: str) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ocrs_models_tpu.models import DetectionModel
+    from ocrs_models_tpu.training.export_utils import export_weights
+    from ocrs_models_tpu.training.state import create_train_state
+    from ocrs_models_tpu.training.steps import make_detection_steps
+
+    model = DetectionModel()
+    state = create_train_state(model, jax.random.key(SEED), jnp.zeros((1, 64, 64, 1)))
+    train_step, _ = make_detection_steps(model)
+    t0 = time.time()
+    for e, batches in enumerate(epoch_batches):
+        losses = []
+        for b in batches:
+            arrs = {
+                k: jnp.asarray(v) for k, v in b.items() if isinstance(v, np.ndarray)
+            }
+            state, m = train_step(state, arrs, 1e-3)
+            losses.append(float(m["loss"]))
+        print(
+            f"[flax det] epoch {e}: loss {np.mean(losses):.4f} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    export_weights(state, out_pt, "detection")
+
+
+# --------------------------------------------------------------------------
+# Orchestration
+# --------------------------------------------------------------------------
+
+
+def run_rec(out_dir: str, epochs: int, report: dict) -> None:
+    train_eps, val = rec_batches(n_train=768, n_val=128, epochs=epochs)
+    ref_ckpt = os.path.join(out_dir, "ref_rec.pt")
+    ours_ckpt = os.path.join(out_dir, "ours_rec.pt")
+
+    if not os.path.exists(ref_ckpt):
+        res = torch_rec_train(train_eps, val, ref_ckpt)
+        json.dump(res, open(ref_ckpt + ".json", "w"))
+    torch_cer = json.load(open(ref_ckpt + ".json"))["cer"]
+
+    flax_cer = flax_rec_eval_from_ckpt(ref_ckpt, val)
+    report["rec_torch_trained"] = {
+        "torch_cer": torch_cer,
+        "flax_cer": flax_cer,
+        "cer_delta": abs(torch_cer - flax_cer),
+    }
+
+    if not os.path.exists(ours_ckpt):
+        res = flax_rec_train(train_eps, val, ours_ckpt)
+        json.dump(res, open(ours_ckpt + ".json", "w"))
+    ours_cer = json.load(open(ours_ckpt + ".json"))["cer"]
+
+    import torch
+    from ocrs_models.models import RecognitionModel as TorchRec
+
+    tm = TorchRec(alphabet=DEFAULT_ALPHABET)
+    tm.load_state_dict(
+        torch.load(ours_ckpt, map_location="cpu", weights_only=True)["model_state"]
+    )
+    reverse_cer = torch_rec_eval(tm, val)
+    report["rec_flax_trained"] = {
+        "flax_cer": ours_cer,
+        "torch_cer": reverse_cer,
+        "cer_delta": abs(ours_cer - reverse_cer),
+    }
+
+
+def run_det(out_dir: str, epochs: int, report: dict) -> None:
+    import torch
+
+    train_eps, val = det_batches(n_train=48, n_val=16, epochs=epochs)
+    ref_ckpt = os.path.join(out_dir, "ref_det.pt")
+    ours_ckpt = os.path.join(out_dir, "ours_det.pt")
+
+    if not os.path.exists(ref_ckpt):
+        torch_det_train(train_eps, ref_ckpt)
+    sd = torch.load(ref_ckpt, map_location="cpu", weights_only=True)["model_state"]
+    torch_probs = torch_det_probs(sd, val)
+    flax_probs, targets = flax_det_probs_from_ckpt(ref_ckpt, val)
+
+    ious = []
+    for a, b in zip(torch_probs, flax_probs):
+        inter = np.logical_and(a > 0.5, b > 0.5).sum()
+        union = np.logical_or(a > 0.5, b > 0.5).sum()
+        ious.append(inter / union if union else 1.0)
+    tm = det_eval(torch_probs, targets)
+    fm = det_eval(flax_probs, targets)
+    report["det_torch_trained"] = {
+        "torch_box": tm,
+        "flax_box": fm,
+        "cross_framework_mask_iou": float(np.mean(ious)),
+        "max_abs_prob_delta": float(
+            max(np.abs(a - b).max() for a, b in zip(torch_probs, flax_probs))
+        ),
+        "precision_delta": abs(tm["precision"] - fm["precision"]),
+        "recall_delta": abs(tm["recall"] - fm["recall"]),
+    }
+
+    if not os.path.exists(ours_ckpt):
+        flax_det_train(train_eps, ours_ckpt)
+    sd2 = torch.load(ours_ckpt, map_location="cpu", weights_only=True)["model_state"]
+    torch_probs2 = torch_det_probs(sd2, val)
+    flax_probs2, targets2 = flax_det_probs_from_ckpt(ours_ckpt, val)
+    ious2 = [
+        float(
+            np.logical_and(a > 0.5, b > 0.5).sum()
+            / max(np.logical_or(a > 0.5, b > 0.5).sum(), 1)
+        )
+        for a, b in zip(torch_probs2, flax_probs2)
+    ]
+    tm2 = det_eval(torch_probs2, targets2)
+    fm2 = det_eval(flax_probs2, targets2)
+    report["det_flax_trained"] = {
+        "flax_box": fm2,
+        "torch_box": tm2,
+        "cross_framework_mask_iou": float(np.mean(ious2)),
+        "precision_delta": abs(tm2["precision"] - fm2["precision"]),
+        "recall_delta": abs(tm2["recall"] - fm2["recall"]),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["rec", "det", "all"], default="all")
+    ap.add_argument("--rec-epochs", type=int, default=10)
+    ap.add_argument("--det-epochs", type=int, default=8)
+    ap.add_argument("--out", default="parity_runs")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    report_path = "PARITY.json"
+    report = json.load(open(report_path)) if os.path.exists(report_path) else {}
+    report["config"] = {
+        "rec": {"n_train": 768, "n_val": 128, "epochs": args.rec_epochs, "batch": REC_BATCH},
+        "det": {
+            "n_train": 48,
+            "n_val": 16,
+            "epochs": args.det_epochs,
+            "batch": DET_BATCH,
+            "page": list(DET_PAGE),
+        },
+        "gate": "CER and detection precision/recall deltas <= 0.01 (1%) on "
+        "identical weights evaluated by both frameworks",
+    }
+
+    if args.task in ("rec", "all"):
+        run_rec(args.out, args.rec_epochs, report)
+    if args.task in ("det", "all"):
+        run_det(args.out, args.det_epochs, report)
+
+    gates = []
+    if "rec_torch_trained" in report:
+        gates.append(report["rec_torch_trained"]["cer_delta"] <= 0.01)
+        gates.append(report["rec_flax_trained"]["cer_delta"] <= 0.01)
+    if "det_torch_trained" in report:
+        gates.append(report["det_torch_trained"]["precision_delta"] <= 0.01)
+        gates.append(report["det_torch_trained"]["recall_delta"] <= 0.01)
+        gates.append(report["det_flax_trained"]["precision_delta"] <= 0.01)
+        gates.append(report["det_flax_trained"]["recall_delta"] <= 0.01)
+    report["gate_pass"] = bool(gates) and all(gates)
+
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

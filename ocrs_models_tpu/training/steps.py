@@ -51,7 +51,11 @@ def make_recognition_steps(model, downsample: int = 4, mesh=None, axis: str = "d
         # Pallas kernel applies even though the global device count is > 1.
         model = model.clone(gru_backend="pallas")
 
-    def loss_and_preds(params, batch_stats, batch, train):
+    def local_parts(params, batch_stats, batch, train):
+        """Per-shard (loss numerator, denominator, preds, stats) with NO
+        collectives — keeping psum out of the differentiated function makes
+        the gradient math independent of shard_map's transpose rules for
+        collectives (check_vma modes transpose psum differently)."""
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             log_probs, mutated = model.apply(
@@ -68,29 +72,33 @@ def make_recognition_steps(model, downsample: int = 4, mesh=None, axis: str = "d
             log_probs, batch["text"], input_lengths, batch["text_len"]
         )
         # torch CTCLoss 'mean': per-sample NLL / target_len, then batch mean
-        # — computed over valid samples only (psum'd across shards in the
-        # shard_map path so the denominator is global).
+        # over valid samples (sample_weight masks padding rows).
         w = batch["sample_weight"]
         per_sample = nll / jnp.maximum(batch["text_len"], 1)
-        num = jnp.sum(per_sample * w)
-        den = jnp.sum(w)
-        if use_shard_map:
-            num = jax.lax.psum(num, axis)
-            den = jax.lax.psum(den, axis)
-        loss = num / jnp.maximum(den, 1.0)
-        return loss, (log_probs, new_stats)
+        return jnp.sum(per_sample * w), jnp.sum(w), log_probs, new_stats
 
     def train_step_core(state, batch, lr):
-        (loss, (log_probs, new_stats)), grads = jax.value_and_grad(
-            loss_and_preds, has_aux=True
-        )(state.params, state.batch_stats, batch, True)
+        def local_num(params):
+            num, den, log_probs, new_stats = local_parts(
+                params, state.batch_stats, batch, True
+            )
+            return num, (den, log_probs, new_stats)
+
+        (num, (den, log_probs, new_stats)), grads = jax.value_and_grad(
+            local_num, has_aux=True
+        )(state.params)
         if use_shard_map:
-            # Params are replicated: the full gradient is the sum of each
-            # shard's contribution (the loss already has the global
-            # denominator). Batch stats pmean approximates global batch
-            # statistics from per-shard moments.
+            # grads here = d(num_local)/dθ exactly (no collectives under the
+            # grad). Global gradient of Σnum/Σden is psum(grads)/psum(den);
+            # batch stats pmean approximates global batch statistics from
+            # per-shard moments.
+            num = jax.lax.psum(num, axis)
+            den = jax.lax.psum(den, axis)
             grads = jax.lax.psum(grads, axis)
             new_stats = jax.lax.pmean(new_stats, axis)
+        den = jnp.maximum(den, 1.0)
+        loss = num / den
+        grads = jax.tree.map(lambda g: g / den, grads)
         grad_norm = optax.global_norm(grads)
         state = state.apply_gradients(grads, lr, new_batch_stats=new_stats)
         metrics = {
@@ -101,11 +109,14 @@ def make_recognition_steps(model, downsample: int = 4, mesh=None, axis: str = "d
         return state, metrics
 
     def eval_step_core(state, batch):
-        loss, (log_probs, _) = loss_and_preds(
+        num, den, log_probs, _ = local_parts(
             state.params, state.batch_stats, batch, False
         )
+        if use_shard_map:
+            num = jax.lax.psum(num, axis)
+            den = jax.lax.psum(den, axis)
         return {
-            "loss": loss,
+            "loss": num / jnp.maximum(den, 1.0),
             "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
         }
 

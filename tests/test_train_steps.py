@@ -58,6 +58,96 @@ def test_recognition_train_step_on_mesh():
     assert ev["preds"].shape == (batch["image"].shape[0], t_expect)
 
 
+def test_shard_map_recognition_step_matches_manual_psum():
+    """The mesh= (shard_map manual-SPMD) path — the exact code
+    dryrun_multichip runs — must equal a per-shard emulation: per-device
+    loss numerator/denominator and grads summed across shards, batch stats
+    averaged. One refactor typo in the psum plumbing fails this test."""
+    mesh = create_mesh()
+    n_dev = mesh.size
+    model = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
+    ds = SyntheticRecognition(size=2 * n_dev, max_chars=4)
+    batch = collate_recognition(
+        [ds[i] for i in range(2 * n_dev)], width_step=64, batch_multiple=n_dev
+    )
+
+    def fresh_state():
+        return create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 64, 64, 1)), grad_clip_norm=4.0
+        )
+
+    # --- shard_map path ---
+    state_sm = replicate_tree(fresh_state(), mesh)
+    train_step, _ = make_recognition_steps(model, mesh=mesh)
+    state_sm, metrics_sm = train_step(
+        state_sm, shard_batch(batch, mesh), jnp.float32(1e-3)
+    )
+
+    # --- manual emulation: loop the shards on one device ---
+    state = fresh_state()
+
+    def shard(arr, i):
+        per = arr.shape[0] // n_dev
+        return arr[i * per : (i + 1) * per]
+
+    def shard_num(params, batch_stats, sub):
+        log_probs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            sub["image"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        from ocrs_models_tpu.ops.ctc import ctc_loss_forward
+
+        nll = ctc_loss_forward(
+            log_probs, sub["text"], sub["image_width"] // 4, sub["text_len"]
+        )
+        per_sample = nll / jnp.maximum(sub["text_len"], 1)
+        return jnp.sum(per_sample * sub["sample_weight"]), mutated["batch_stats"]
+
+    num_total = 0.0
+    den_total = float(batch["sample_weight"].sum())
+    grads_total = None
+    stats_acc = None
+    for i in range(n_dev):
+        sub = {k: shard(jnp.asarray(v), i) for k, v in batch.items()}
+        (num, stats), g = jax.value_and_grad(shard_num, has_aux=True)(
+            state.params, state.batch_stats, sub
+        )
+        num_total += float(num)
+        grads_total = (
+            g if grads_total is None else jax.tree.map(jnp.add, grads_total, g)
+        )
+        stats_acc = (
+            stats if stats_acc is None else jax.tree.map(jnp.add, stats_acc, stats)
+        )
+    loss_manual = num_total / den_total
+    grads_manual = jax.tree.map(lambda x: x / den_total, grads_total)
+    stats_manual = jax.tree.map(lambda x: x / n_dev, stats_acc)
+    state_manual = state.apply_gradients(
+        grads_manual, jnp.float32(1e-3), new_batch_stats=stats_manual
+    )
+
+    assert abs(float(metrics_sm["loss"]) - loss_manual) < 1e-4
+    # Tight check at the gradient level (pre-optimizer).
+    import optax
+
+    gn_manual = float(optax.global_norm(grads_manual))
+    assert abs(float(metrics_sm["grad_norm"]) - gn_manual) < 1e-4 * max(gn_manual, 1)
+    # Post-Adam params: rsqrt(v) near zero amplifies reduction-order noise
+    # up to the lr (1e-3) scale on isolated elements; 5e-4 still catches any
+    # structural divergence (a wrong psum shows up as O(n_dev) errors).
+    for a, b in zip(
+        jax.tree.leaves(state_sm.params), jax.tree.leaves(state_manual.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    for a, b in zip(
+        jax.tree.leaves(state_sm.batch_stats),
+        jax.tree.leaves(state_manual.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_recognition_loss_decreases_when_overfitting():
     mesh = create_mesh(num_devices=1)
     model = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)

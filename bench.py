@@ -1,31 +1,84 @@
-"""Benchmark: recognition training throughput (text-line crops/sec/chip).
+"""Benchmark suite: one JSON line per task/shape, headline last.
 
-Runs the full CRNN training step (forward + CTC loss + backward + Adam) on
-one chip with bf16 conv compute, batch 256 x 64x256 line crops — the
-BASELINE.json headline metric. ``vs_baseline`` is the ratio against the
-driver-set target of 5,000 crops/sec/chip (the reference publishes no
-numbers of its own; see BASELINE.md).
+Default run covers all three tasks on realistic shapes (BASELINE.json
+configs 3-4; hiertext.py caps line crops at W<=800 which buckets to 1024):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- detection train step, 800x608 bf16, batch 4 and 8 (img/sec/chip)
+- layout train step, 500 words, batch 64 (pages/sec/chip)
+- recognition train step, wide bucket W=1024 (T=257), batch 64
+- recognition mixed-bucket epoch (55% W=256 / 30% W=512 / 15% W=1024,
+  crop-count-weighted) — the realistic HierText width mix
+- HEADLINE (last line, parsed by the driver): recognition train step,
+  batch 256 x 64x256 crops/sec/chip vs the 5k/sec/chip target
+
+Each section is fault-isolated so the headline always prints. Timing is
+fenced with a value fetch (block_until_ready returns early on this image's
+axon remote buffers).
 """
 
 import json
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+TARGET = 5000.0  # driver-set crops/sec/chip (BASELINE.json:5)
 
-def bench_detection():
-    """Secondary benchmark (manual: `python bench.py --task det`):
-    detection training step images/sec/chip at 800x608 bf16, batch 8."""
+
+def _emit(metric, value, unit, vs_baseline=None):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 1),
+                "unit": unit,
+                "vs_baseline": (
+                    round(vs_baseline, 3) if vs_baseline is not None else None
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _rec_batch(batch_size, width, max_chars=24, seed=0):
+    rng = np.random.default_rng(seed)
+    batch = {
+        "image": rng.uniform(-0.5, 0.5, (batch_size, 64, width, 1)).astype(
+            np.float32
+        ),
+        "text": np.zeros((batch_size, 64), np.int32),
+        "text_len": np.full((batch_size,), max_chars, np.int32),
+        "image_width": np.full((batch_size,), width, np.int32),
+        "sample_weight": np.ones((batch_size,), np.float32),
+    }
+    batch["text"][:, :max_chars] = rng.integers(1, 97, (batch_size, max_chars))
+    return jax.device_put(batch)
+
+
+def _make_rec():
+    from ocrs_models_tpu.config import DEFAULT_ALPHABET
+    from ocrs_models_tpu.models import RecognitionModel
+    from ocrs_models_tpu.training.state import create_train_state
+    from ocrs_models_tpu.training.steps import make_recognition_steps
+
+    model = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1, dtype=jnp.bfloat16)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 64, 64, 1)), grad_clip_norm=4.0
+    )
+    train_step, _ = make_recognition_steps(model)
+    return state, train_step
+
+
+def bench_detection(batch_size):
     from ocrs_models_tpu.models import DetectionModel
     from ocrs_models_tpu.training.state import create_train_state
     from ocrs_models_tpu.training.steps import make_detection_steps
 
-    n, h, w = 8, 800, 608
+    n, h, w = batch_size, 800, 608
     rng = np.random.default_rng(0)
     batch = jax.device_put(
         {
@@ -45,81 +98,142 @@ def bench_detection():
         state, m = step(state, batch, lr)
     float(m["loss"])
     elapsed = time.perf_counter() - start
-    print(
-        json.dumps(
-            {
-                "metric": "detection_train_images_per_sec_per_chip",
-                "value": round(n * iters / elapsed, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": None,
-            }
-        )
+    _emit(
+        f"detection_train_images_per_sec_per_chip_b{n}",
+        n * iters / elapsed,
+        "images/sec/chip",
+    )
+
+
+def bench_layout():
+    from ocrs_models_tpu.models import LayoutModel
+    from ocrs_models_tpu.training.state import create_train_state
+    from ocrs_models_tpu.training.steps import make_layout_steps
+
+    n, n_words = 64, 500
+    rng = np.random.default_rng(0)
+    batch = jax.device_put(
+        {
+            "boxes": rng.uniform(0, 1000, (n, n_words, 4)).astype(np.float32),
+            "labels": (rng.uniform(size=(n, n_words, 2)) > 0.8).astype(np.float32),
+        }
+    )
+    model = LayoutModel(dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 32, 4)))
+    step, _ = make_layout_steps(model)
+    lr = jnp.float32(3e-4)
+    key = jax.random.key(1)
+    state, m = step(state, batch, lr, key)
+    float(m["loss"])
+    iters = 30
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, lr, key)
+    float(m["loss"])
+    elapsed = time.perf_counter() - start
+    _emit(
+        "layout_train_pages_per_sec_per_chip", n * iters / elapsed, "pages/sec/chip"
+    )
+
+
+def bench_rec_wide(state, train_step):
+    """W=1024 bucket (the hiertext.py W<=800 cap rounds up to 1024; T=257)."""
+    batch = _rec_batch(64, 1024, max_chars=48)
+    lr = jnp.float32(1e-3)
+    state, m = train_step(state, batch, lr)
+    float(m["loss"])
+    iters = 30
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, m = train_step(state, batch, lr)
+    float(m["loss"])
+    elapsed = time.perf_counter() - start
+    crops = 64 * iters / elapsed
+    _emit(
+        "recognition_train_wide_w1024_crops_per_sec_per_chip",
+        crops,
+        "crops/sec/chip",
+        crops / TARGET,
+    )
+    return state
+
+
+def bench_rec_mixed(state, train_step):
+    """Mixed-bucket epoch: 55% of crops in the 256 bucket, 30% in 512,
+    15% in 1024 — batch sizes hold the pixel budget constant."""
+    buckets = [(256, 256, 11), (512, 128, 12), (1024, 64, 12)]  # (W, batch, iters)
+    batches = {w: _rec_batch(b, w, max_chars=min(24, w // 16)) for w, b, _ in buckets}
+    lr = jnp.float32(1e-3)
+    for w, b, _ in buckets:  # compile
+        state, m = train_step(state, batches[w], lr)
+        float(m["loss"])
+    total_crops = 0
+    start = time.perf_counter()
+    for w, b, iters in buckets:
+        for _ in range(iters):
+            state, m = train_step(state, batches[w], lr)
+        total_crops += b * iters
+    float(m["loss"])
+    elapsed = time.perf_counter() - start
+    crops = total_crops / elapsed
+    _emit(
+        "recognition_train_mixed_epoch_crops_per_sec_per_chip",
+        crops,
+        "crops/sec/chip",
+        crops / TARGET,
+    )
+    return state
+
+
+def bench_rec_headline(state, train_step):
+    batch = _rec_batch(256, 256)
+    lr = jnp.float32(1e-3)
+    state, metrics = train_step(state, batch, lr)
+    float(metrics["loss"])
+    n_iters = 50
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = train_step(state, batch, lr)
+    float(metrics["loss"])
+    elapsed = time.perf_counter() - start
+    crops = 256 * n_iters / elapsed
+    _emit(
+        "recognition_train_crops_per_sec_per_chip",
+        crops,
+        "crops/sec/chip",
+        crops / TARGET,
     )
 
 
 def main():
-    if "--task" in sys.argv and "det" in sys.argv[sys.argv.index("--task") + 1]:
-        bench_detection()
-        return
-    from ocrs_models_tpu.config import DEFAULT_ALPHABET
-    from ocrs_models_tpu.models import RecognitionModel
-    from ocrs_models_tpu.parallel import create_mesh, replicate_tree, shard_batch
-    from ocrs_models_tpu.training.state import create_train_state
-    from ocrs_models_tpu.training.steps import make_recognition_steps
+    only = None
+    if "--task" in sys.argv:
+        only = sys.argv[sys.argv.index("--task") + 1]
 
-    batch_size = 256
-    width = 256
-    t_len = width // 4
-    max_chars = 24
+    def guarded(name, fn, *args):
+        if only is not None and only not in name:
+            return None
+        try:
+            return fn(*args)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            print(f"[bench] {name} failed; continuing", file=sys.stderr, flush=True)
+            return None
 
-    rng = np.random.default_rng(0)
-    batch = {
-        "image": rng.uniform(-0.5, 0.5, (batch_size, 64, width, 1)).astype(
-            np.float32
-        ),
-        "text": np.zeros((batch_size, 64), np.int32),
-        "text_len": np.full((batch_size,), max_chars, np.int32),
-        "image_width": np.full((batch_size,), width, np.int32),
-        "sample_weight": np.ones((batch_size,), np.float32),
-    }
-    batch["text"][:, :max_chars] = rng.integers(1, 97, (batch_size, max_chars))
-    del t_len
+    guarded("det", bench_detection, 4)
+    guarded("det", bench_detection, 8)
+    guarded("layout", bench_layout)
 
-    mesh = create_mesh(num_devices=1)
-    model = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1, dtype=jnp.bfloat16)
-    state = create_train_state(
-        model, jax.random.key(0), jnp.zeros((1, 64, width, 1)), grad_clip_norm=4.0
-    )
-    state = replicate_tree(state, mesh)
-    train_step, _ = make_recognition_steps(model)
-    sharded = shard_batch(batch, mesh)
-    lr = jnp.float32(1e-3)
-
-    # Warmup / compile. float() forces a device->host transfer: on this
-    # image's axon PJRT plugin, block_until_ready returns early on remote
-    # buffers, so a value fetch is the only reliable fence.
-    state, metrics = train_step(state, sharded, lr)
-    float(metrics["loss"])
-
-    n_iters = 50
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        state, metrics = train_step(state, sharded, lr)
-    float(metrics["loss"])
-    elapsed = time.perf_counter() - start
-
-    crops_per_sec = batch_size * n_iters / elapsed
-    target = 5000.0
-    print(
-        json.dumps(
-            {
-                "metric": "recognition_train_crops_per_sec_per_chip",
-                "value": round(crops_per_sec, 1),
-                "unit": "crops/sec/chip",
-                "vs_baseline": round(crops_per_sec / target, 3),
-            }
-        )
-    )
+    if only is None or "rec" in only:
+        state, train_step = _make_rec()
+        for name, fn in (("rec_wide", bench_rec_wide), ("rec_mixed", bench_rec_mixed)):
+            new_state = guarded(name, fn, state, train_step)
+            if new_state is None:
+                # state may have been donated before the failure; rebuild.
+                state, train_step = _make_rec()
+            else:
+                state = new_state
+        bench_rec_headline(state, train_step)  # headline: always last
 
 
 if __name__ == "__main__":

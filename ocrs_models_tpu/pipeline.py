@@ -25,7 +25,7 @@ from .config import DEFAULT_ALPHABET, SHRINK_DISTANCE, DetectionTrainConfig
 from .data.augment import resize
 from .data.collate import round_up
 from .geometry import expand_quads, extract_cc_quads
-from .models import DetectionModel, RecognitionModel
+from .models import DetectionModel, LayoutModel, RecognitionModel
 from .utils.text import ctc_greedy_decode_batch, decode_text
 
 
@@ -74,24 +74,60 @@ def group_words_into_lines(quads: np.ndarray, overlap_threshold: float = 0.5):
     return [(np.array(ln["box"]), ln["members"]) for ln in lines]
 
 
+def group_lines_from_layout_probs(
+    boxes: np.ndarray, probs: np.ndarray, threshold: float = 0.5
+):
+    """Split a reading-ordered word-box sequence into lines at predicted
+    line starts (BASELINE config #5's 'layout-graph' stage).
+
+    :param boxes: ``[W, 4]`` word AABBs in reading order.
+    :param probs: ``[W, 2]`` (line_start, line_end) probabilities.
+    :return: same ``[(line_box, member_indices)]`` contract as
+        :func:`group_words_into_lines`, in sequence order.
+    """
+    lines: list[dict] = []
+    force_new = True
+    for i, box in enumerate(boxes):
+        if probs[i, 0] >= threshold or force_new:
+            lines.append({"box": list(box), "members": [i]})
+        else:
+            line = lines[-1]
+            line["members"].append(i)
+            lb = line["box"]
+            line["box"] = [
+                min(lb[0], box[0]), min(lb[1], box[1]),
+                max(lb[2], box[2]), max(lb[3], box[3]),
+            ]
+        # A predicted line_end forces the next word to start a new line.
+        force_new = probs[i, 1] >= threshold
+    return [(np.array(ln["box"]), ln["members"]) for ln in lines]
+
+
 class OcrPipeline:
     def __init__(
         self,
         det_variables,
         rec_variables,
+        layout_variables=None,
+        use_layout_model: bool = False,
         alphabet: str = DEFAULT_ALPHABET,
         det_size: Optional[tuple[int, int]] = None,
         rec_height: int = 64,
         max_line_width: int = 800,
         width_step: int = 256,
         threshold: float = 0.5,
+        layout_pad_words: int = 500,
     ):
+        if use_layout_model and layout_variables is None:
+            raise ValueError("use_layout_model=True requires layout_variables")
         self.alphabet = alphabet
         self.det_size = det_size or DetectionTrainConfig().mask_size
         self.rec_height = rec_height
         self.max_line_width = max_line_width
         self.width_step = width_step
         self.threshold = threshold
+        self.use_layout_model = use_layout_model
+        self.layout_pad_words = layout_pad_words
 
         det_model = DetectionModel()
         rec_model = RecognitionModel(n_classes=len(alphabet) + 1)
@@ -104,9 +140,21 @@ class OcrPipeline:
             lambda v, x: rec_model.apply(v, x, train=False)
         )
         self._decode = jax.jit(ctc_greedy_decode_batch)
+        self._layout_vars = layout_variables
+        if layout_variables is not None:
+            layout_model = LayoutModel(return_probs=True)
+            self._layout_fwd = jax.jit(
+                lambda v, x: layout_model.apply(v, x, train=False)
+            )
 
     @classmethod
-    def from_checkpoints(cls, det_ckpt: str, rec_ckpt: str, **kwargs) -> "OcrPipeline":
+    def from_checkpoints(
+        cls,
+        det_ckpt: str,
+        rec_ckpt: str,
+        layout_ckpt: Optional[str] = None,
+        **kwargs,
+    ) -> "OcrPipeline":
         from .training.state import create_train_state
         from .utils.checkpoint import load_checkpoint
 
@@ -120,9 +168,17 @@ class OcrPipeline:
             rec_model, jax.random.key(0), jnp.zeros((1, 64, 64, 1))
         )
         rec_state, _ = load_checkpoint(rec_ckpt, rec_state)
+        layout_variables = None
+        if layout_ckpt is not None:
+            layout_state = create_train_state(
+                LayoutModel(), jax.random.key(0), jnp.zeros((1, 32, 4))
+            )
+            layout_state, _ = load_checkpoint(layout_ckpt, layout_state)
+            layout_variables = {"params": layout_state.params}
         return cls(
             {"params": det_state.params, "batch_stats": det_state.batch_stats},
             {"params": rec_state.params, "batch_stats": rec_state.batch_stats},
+            layout_variables=layout_variables,
             **kwargs,
         )
 
@@ -154,6 +210,39 @@ class OcrPipeline:
         # Map back to input resolution.
         scale = np.array([w / self.det_size[1], h / self.det_size[0]])
         return np.asarray(quads, dtype=np.float64) * scale
+
+    def group_lines_with_layout_model(self, quads: np.ndarray):
+        """Line grouping via the layout transformer: word quads in reading
+        order -> (line_start, line_end) probabilities -> sequence splits.
+        Same return contract as :func:`group_words_into_lines`."""
+        if len(quads) == 0:
+            return []
+        boxes = np.stack(
+            [quads.min(axis=1), quads.max(axis=1)], axis=1
+        ).reshape(-1, 4)
+        # Reading order: by top with a same-line tolerance, then left-to-
+        # right (the order layout training data is serialized in,
+        # reference web_layout.py:140-172).
+        med_h = float(np.median(boxes[:, 3] - boxes[:, 1]))
+        row = np.round(boxes[:, 1] / max(med_h, 1.0)).astype(np.int64)
+        order = np.lexsort((boxes[:, 0], row))
+        n = len(order)
+
+        padded = np.zeros((1, self.layout_pad_words, 4), np.float32)
+        k = min(n, self.layout_pad_words)
+        padded[0, :k] = boxes[order[:k]]
+        probs = np.asarray(self._layout_fwd(self._layout_vars, jnp.array(padded)))[
+            0, :k
+        ]
+        lines = group_lines_from_layout_probs(boxes[order[:k]], probs)
+        # Map member positions back to original quad indices; append any
+        # overflow words (> pad size) as their own lines.
+        mapped = [
+            (box, [int(order[i]) for i in members]) for box, members in lines
+        ]
+        for i in order[k:]:
+            mapped.append((boxes[i].copy(), [int(i)]))
+        return mapped
 
     def recognize_lines(
         self, image: np.ndarray, line_boxes: list[np.ndarray]
@@ -206,7 +295,10 @@ class OcrPipeline:
     def __call__(self, image: np.ndarray) -> list[OcrLine]:
         """Full pipeline on a greyscale HWC float image in [-0.5, 0.5]."""
         quads = self.detect_words(image)
-        lines = group_words_into_lines(quads)
+        if self.use_layout_model:
+            lines = self.group_lines_with_layout_model(quads)
+        else:
+            lines = group_words_into_lines(quads)
         line_boxes = [box for box, _ in lines]
         texts = self.recognize_lines(image, line_boxes)
         return [

@@ -24,6 +24,13 @@ from ..ops.ctc import ctc_loss_forward
 from ..ops.losses import balanced_cross_entropy_loss, weighted_bce_with_logits
 
 
+def layer_grad_norms(grads) -> dict:
+    """Per-top-level-module gradient norms — the hermetic equivalent of the
+    reference's ``wandb.watch(model)`` gradient histograms
+    (train_detection.py:426-438)."""
+    return {k: optax.global_norm(v) for k, v in grads.items()}
+
+
 # ------------------------------ recognition ------------------------------
 
 
@@ -104,6 +111,7 @@ def make_recognition_steps(model, downsample: int = 4, mesh=None, axis: str = "d
         metrics = {
             "loss": loss,
             "grad_norm": grad_norm,
+            "grad_norms": layer_grad_norms(grads),
             "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
         }
         return state, metrics
@@ -183,11 +191,19 @@ def make_detection_steps(model):
         return loss, (pred, new_stats)
 
     def train_step(state, batch, lr):
-        (loss, (_, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, True
         )
         state = state.apply_gradients(grads, lr, new_batch_stats=new_stats)
-        return state, {"loss": loss}
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "grad_norms": layer_grad_norms(grads),
+            # Returned for --debug-images train-batch dumps (reference
+            # train_detection.py:102-109); stays on device unless fetched.
+            "pred": pred,
+        }
+        return state, metrics
 
     def eval_step(state, batch):
         loss, (pred, _) = loss_fn(state.params, state.batch_stats, batch, False)
@@ -224,7 +240,12 @@ def make_layout_steps(model, pos_weight: float = 10.0):
             state.params, batch, rng, True
         )
         state = state.apply_gradients(grads, lr)
-        return state, {"loss": loss, "probs": jax.nn.sigmoid(logits)}
+        return state, {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "grad_norms": layer_grad_norms(grads),
+            "probs": jax.nn.sigmoid(logits),
+        }
 
     def eval_step(state, batch):
         loss, logits = loss_fn(state.params, batch, None, False)

@@ -54,6 +54,7 @@ def run_train_epoch(loader, mesh, state, train_step, lr, debug_images=False):
     import time
 
     total_loss, n_batches = 0.0, 0
+    last_metrics = None
     for batch in loader:
         n_valid = batch.pop("n_valid", len(batch["image"]))
         batch.pop("path", None)
@@ -64,9 +65,26 @@ def run_train_epoch(loader, mesh, state, train_step, lr, debug_images=False):
         sec_per_img = (time.time() - start) / max(n_valid, 1)
         total_loss += loss
         n_batches += 1
+        last_metrics = metrics
+        if debug_images and n_batches == 1 and n_valid:
+            # Train-batch dumps (reference train_detection.py:102-109).
+            save_debug_images(
+                "train-sample",
+                batch["image"][0],
+                np.asarray(metrics["pred"])[0],
+                batch["mask"][0],
+            )
         print(f"  batch loss {loss:.4f} sec/img {sec_per_img:.3f}", end="\r")
     print()
-    return state, total_loss / max(n_batches, 1)
+    epoch_stats = {}
+    if last_metrics is not None:
+        epoch_stats = {
+            "grad_norm": float(last_metrics["grad_norm"]),
+            "grad_norms": {
+                k: float(v) for k, v in last_metrics["grad_norms"].items()
+            },
+        }
+    return state, total_loss / max(n_batches, 1), epoch_stats
 
 
 def run_eval_epoch(loader, mesh, state, eval_step, debug_images=False):
@@ -217,7 +235,7 @@ def main(argv=None):
     min_train_loss = 1.0
     epochs_without_improvement = 0
     while args.max_epochs is None or epoch < args.max_epochs:
-        state, train_loss = run_train_epoch(
+        state, train_loss, train_stats = run_train_epoch(
             train_loader, mesh, state, train_step, lr, debug_images=args.debug_images
         )
         val_loss, val_metrics = run_eval_epoch(
@@ -226,7 +244,12 @@ def main(argv=None):
         print(f"Epoch {epoch} train loss {train_loss:.4f} validation loss {val_loss:.4f}")
         print(f"Epoch {epoch} validation metrics:", format_metrics(val_metrics))
         logger.log(
-            {"train_loss": train_loss, "val_loss": val_loss, "val_metrics": val_metrics},
+            {
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "val_metrics": val_metrics,
+                **train_stats,
+            },
             step=epoch,
         )
 

@@ -79,3 +79,99 @@ class TestPipeline:
         texts = pipe.recognize_lines(img, boxes)
         assert len(texts) == 3
         assert texts[2] == ""
+
+
+class TestLayoutModelGrouping:
+    def test_group_from_probs_splits_at_starts(self):
+        from ocrs_models_tpu.pipeline import group_lines_from_layout_probs
+
+        boxes = np.array(
+            [
+                [10, 10, 60, 30],
+                [70, 12, 120, 32],
+                [10, 50, 80, 70],
+                [90, 50, 140, 70],
+            ],
+            np.float32,
+        )
+        probs = np.array(
+            [[0.9, 0.1], [0.1, 0.8], [0.95, 0.1], [0.1, 0.9]], np.float32
+        )
+        lines = group_lines_from_layout_probs(boxes, probs)
+        assert [m for _, m in lines] == [[0, 1], [2, 3]]
+        assert lines[0][0].tolist() == [10, 10, 120, 32]
+
+    def test_group_from_probs_end_forces_break(self):
+        from ocrs_models_tpu.pipeline import group_lines_from_layout_probs
+
+        boxes = np.array(
+            [[0, 0, 10, 10], [20, 0, 30, 10], [40, 0, 50, 10]], np.float32
+        )
+        # No explicit start on word 2, but word 1 is marked line_end.
+        probs = np.array([[0.9, 0.0], [0.0, 0.9], [0.0, 0.0]], np.float32)
+        lines = group_lines_from_layout_probs(boxes, probs)
+        assert [m for _, m in lines] == [[0, 1], [2]]
+
+    def test_pipeline_layout_grouping_matches_oracle(self):
+        """Wire-level test: with an oracle layout forward (perfect
+        start/end probabilities), use_layout_model grouping reproduces the
+        heuristic's grouping on a clean page."""
+        det = DetectionModel()
+        rec = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
+        det_vars = det.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)), train=False)
+        rec_vars = rec.init(jax.random.key(1), jnp.zeros((1, 64, 64, 1)), train=False)
+
+        from ocrs_models_tpu.models import LayoutModel
+
+        layout = LayoutModel()
+        layout_vars = {
+            "params": layout.init(jax.random.key(2), jnp.zeros((1, 8, 4)))["params"]
+        }
+        pipe = OcrPipeline(
+            det_vars,
+            rec_vars,
+            layout_variables=layout_vars,
+            use_layout_model=True,
+            layout_pad_words=16,
+        )
+
+        # Oracle: line starts where vertical overlap with the previous box
+        # breaks (the training-label rule, reference web_layout.py:140-172).
+        def oracle_fwd(variables, padded):
+            boxes = np.asarray(padded)[0]
+            probs = np.zeros((1, boxes.shape[0], 2), np.float32)
+            valid = (boxes[:, 2] - boxes[:, 0]) > 0
+            for i in np.nonzero(valid)[0]:
+                prev = i - 1
+                if i == 0 or not (
+                    boxes[prev][1] < boxes[i][3] and boxes[i][1] < boxes[prev][3]
+                ):
+                    probs[0, i, 0] = 1.0
+            return jnp.asarray(probs)
+
+        pipe._layout_fwd = oracle_fwd
+
+        quads = np.stack(
+            [
+                rect_quad(70, 12, 120, 32),
+                rect_quad(10, 10, 60, 30),
+                rect_quad(10, 50, 80, 70),
+                rect_quad(90, 52, 140, 72),
+            ]
+        )
+        got = pipe.group_lines_with_layout_model(quads)
+        want = group_words_into_lines(quads)
+        assert [sorted(m) for _, m in got] == [sorted(m) for _, m in want]
+        for (gb, _), (wb, _) in zip(got, want):
+            np.testing.assert_allclose(gb, wb)
+
+    def test_use_layout_model_requires_variables(self):
+        det = DetectionModel()
+        rec = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
+        det_vars = det.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)), train=False)
+        rec_vars = rec.init(jax.random.key(1), jnp.zeros((1, 64, 64, 1)), train=False)
+        try:
+            OcrPipeline(det_vars, rec_vars, use_layout_model=True)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass

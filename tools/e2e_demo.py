@@ -24,12 +24,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from ocrs_models_tpu.config import DEFAULT_ALPHABET
-from ocrs_models_tpu.data import SyntheticRecognition, collate_detection, collate_recognition
+from ocrs_models_tpu.data import (
+    SyntheticLayout,
+    SyntheticRecognition,
+    collate_detection,
+    collate_layout,
+    collate_recognition,
+)
 from ocrs_models_tpu.geometry import generate_mask
-from ocrs_models_tpu.models import DetectionModel, RecognitionModel
-from ocrs_models_tpu.pipeline import OcrPipeline
+from ocrs_models_tpu.models import DetectionModel, LayoutModel, RecognitionModel
+from ocrs_models_tpu.pipeline import OcrPipeline, group_lines_from_layout_probs
 from ocrs_models_tpu.training.state import create_train_state
-from ocrs_models_tpu.training.steps import make_detection_steps, make_recognition_steps
+from ocrs_models_tpu.training.steps import (
+    make_detection_steps,
+    make_layout_steps,
+    make_recognition_steps,
+)
 from ocrs_models_tpu.utils.text import decode_text, levenshtein
 
 
@@ -143,27 +153,65 @@ def train_recognition(n_samples: int, epochs: int, batch: int):
     return {"params": state.params, "batch_stats": state.batch_stats}
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=48)
-    ap.add_argument("--det-epochs", type=int, default=25)
-    ap.add_argument("--rec-epochs", type=int, default=40)
-    ap.add_argument("--rec-samples", type=int, default=480)
-    ap.add_argument("--eval-pages", type=int, default=8)
-    args = ap.parse_args()
+def train_layout(epochs: int, batch: int = 16, n_words: int = 160):
+    """Train the layout transformer on synthetic word-box pages (labels from
+    the vertical-overlap rule, reference web_layout.py:140-172)."""
+    model = LayoutModel(dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 16, 4)))
+    step, _ = make_layout_steps(model)
+    ds = SyntheticLayout(size=256, n_words=n_words, seed=5)
+    order = np.arange(len(ds))
+    rng = np.random.default_rng(0)
+    warmup = max(1, epochs // 5)
+    for epoch in range(epochs):
+        lr = 3e-4 * min(1.0, (epoch + 1) / warmup)  # reference: linear warmup
+        rng.shuffle(order)
+        losses = []
+        for i in range(0, len(ds) - batch + 1, batch):
+            b = collate_layout([ds[int(j)] for j in order[i : i + batch]])
+            b.pop("n_valid")
+            state, m = step(
+                state, jax.device_put(b), jnp.float32(lr), jax.random.key(epoch)
+            )
+            losses.append(float(m["loss"]))
+        if epoch % 10 == 0 or epoch == epochs - 1:
+            print(f"layout epoch {epoch}: loss {np.mean(losses):.4f}", file=sys.stderr)
+    return {"params": state.params}
 
-    pages = SyntheticTextPages(args.pages, seed=0)
-    det_vars = train_detection(pages, args.det_epochs, batch=8)
-    rec_vars = train_recognition(args.rec_samples, args.rec_epochs, batch=48)
 
-    pipe = OcrPipeline(det_vars, rec_vars)
-    eval_pages = SyntheticTextPages(args.eval_pages, seed=99)
+def eval_layout_grouping(layout_vars, n_pages: int = 24, n_words: int = 160):
+    """Line-grouping quality of the trained layout model vs the label rule
+    on held-out word-box pages: exact-line precision/recall/F1 (a line
+    counts when its member set matches ground truth exactly)."""
+    model = LayoutModel(return_probs=True)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    ds = SyntheticLayout(size=n_pages, n_words=n_words, seed=77)
+    tp = fp = fn = 0
+    for i in range(n_pages):
+        boxes, labels = ds[i]
+        valid = (boxes[:, 2] - boxes[:, 0]) > 0
+        k = int(valid.sum())
+        probs = np.asarray(fwd(layout_vars, jnp.asarray(boxes[None])))[0, :k]
+        pred = {
+            tuple(members)
+            for _, members in group_lines_from_layout_probs(boxes[:k], probs)
+        }
+        want = {
+            tuple(members)
+            for _, members in group_lines_from_layout_probs(boxes[:k], labels[:k])
+        }
+        tp += len(pred & want)
+        fp += len(pred - want)
+        fn += len(want - pred)
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    return {"precision": precision, "recall": recall, "f1": f1}
 
-    total_lines = 0
-    matched = 0
-    cer_num = 0
-    cer_den = 0
-    for i in range(args.eval_pages):
+
+def score_pipeline(pipe, eval_pages, n_pages: int, verbose_first: int = 6):
+    total_lines = matched = cer_num = cer_den = 0
+    for i in range(n_pages):
         img, polys, texts = eval_pages.build(i)
         result = pipe(img)
         for poly, text in zip(polys, texts):
@@ -185,16 +233,53 @@ def main():
                 matched += 1
                 cer_num += levenshtein(text, best[1].text)
                 cer_den += len(text)
-                if total_lines <= 6:
-                    print(
-                        f'  pred "{best[1].text}" gt "{text}"', file=sys.stderr
-                    )
-
-    out = {
+                if total_lines <= verbose_first:
+                    print(f'  pred "{best[1].text}" gt "{text}"', file=sys.stderr)
+    return {
         "line_recall": round(matched / max(total_lines, 1), 3),
         "matched_cer": round(cer_num / max(cer_den, 1), 3),
         "total_lines": total_lines,
     }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=48)
+    ap.add_argument("--det-epochs", type=int, default=25)
+    ap.add_argument("--rec-epochs", type=int, default=40)
+    ap.add_argument("--rec-samples", type=int, default=480)
+    ap.add_argument("--eval-pages", type=int, default=8)
+    ap.add_argument(
+        "--use-layout-model",
+        action="store_true",
+        help="also train the layout transformer, score its line grouping "
+        "against the heuristic, and run the pipeline with it",
+    )
+    ap.add_argument("--layout-epochs", type=int, default=60)
+    args = ap.parse_args()
+
+    pages = SyntheticTextPages(args.pages, seed=0)
+    det_vars = train_detection(pages, args.det_epochs, batch=8)
+    rec_vars = train_recognition(args.rec_samples, args.rec_epochs, batch=48)
+
+    eval_pages = SyntheticTextPages(args.eval_pages, seed=99)
+    pipe = OcrPipeline(det_vars, rec_vars)
+    out = score_pipeline(pipe, eval_pages, args.eval_pages)
+
+    if args.use_layout_model:
+        layout_vars = train_layout(args.layout_epochs)
+        out["layout_grouping"] = {
+            k: round(v, 3) for k, v in eval_layout_grouping(layout_vars).items()
+        }
+        layout_pipe = OcrPipeline(
+            det_vars,
+            rec_vars,
+            layout_variables=layout_vars,
+            use_layout_model=True,
+        )
+        scored = score_pipeline(layout_pipe, eval_pages, args.eval_pages, 0)
+        out["line_recall_layout"] = scored["line_recall"]
+        out["matched_cer_layout"] = scored["matched_cer"]
     print(json.dumps(out))
 
 

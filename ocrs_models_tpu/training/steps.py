@@ -146,7 +146,12 @@ def make_recognition_steps(model, downsample: int = 4, mesh=None, axis: str = "d
             in_specs=(specs_like(state, rep), specs_like(batch, batch_spec), rep),
             out_specs=(
                 specs_like(state, rep),
-                {"loss": rep, "grad_norm": rep, "preds": batch_spec},
+                {
+                    "loss": rep,
+                    "grad_norm": rep,
+                    "grad_norms": rep,
+                    "preds": batch_spec,
+                },
             ),
             check_vma=False,
         )

@@ -260,54 +260,122 @@ int polygon_offset(const double* poly_in, int n_in, double dist, double* out) {
 }
 
 // ------------------------------------------------------ scanline raster
-// Fill a polygon into a uint8 [h, w] mask (PIL-style inclusive "touched
-// pixel" rule; see ../raster.py for the full semantics).
+// Fill a polygon into a uint8 [h, w] mask, matching PIL ImageDraw.polygon
+// bit-for-bit (see ../raster.py for the derived rule and its one documented
+// residual). All crossing math is float32 like Pillow's C; vertices are
+// truncated to int like Pillow's binding.
+namespace pilfill {
+
+struct Edge {
+    int x0, y0;
+    int ymin, ymax;
+    float dx;
+};
+
+static inline int round_up_half(float f) {
+    return (f >= 0.0f) ? (int)std::floor(f + 0.5f) : -(int)std::floor(std::fabs(f) + 0.5f);
+}
+static inline int round_down_half(float f) {
+    return (f >= 0.0f) ? (int)std::ceil(f - 0.5f) : -(int)std::ceil(std::fabs(f) - 0.5f);
+}
+static inline float cross_at(const Edge& e, int y) {
+    float prod = (float)(y - e.y0) * e.dx;  // keep two float32 roundings
+    return prod + (float)e.x0;              // (no FMA; built with -ffp-contract=off)
+}
+static inline void hline(uint8_t* out, int h, int w, int x0, int y, int x1) {
+    // Pillow's hline: no swap — reversed spans draw nothing.
+    if (y < 0 || y >= h || x0 > x1 || x1 < 0 || x0 >= w) return;
+    x0 = std::max(x0, 0);
+    x1 = std::min(x1, w - 1);
+    std::memset(out + (size_t)y * w + x0, 1, (size_t)(x1 - x0 + 1));
+}
+
+}  // namespace pilfill
+
 void fill_polygon(const double* poly, int n, int h, int w, uint8_t* out) {
-    if (n < 3) return;
-    double ymin = 1e300, ymax = -1e300;
+    using namespace pilfill;
+    if (n < 2) return;
+    std::vector<Edge> edges;
+    edges.reserve(n);
+    int gymin = h - 1, gymax = 0;
     for (int i = 0; i < n; i++) {
-        ymin = std::min(ymin, poly[2 * i + 1]);
-        ymax = std::max(ymax, poly[2 * i + 1]);
+        int j = (i + 1) % n;
+        int x0 = (int)poly[2 * i], y0 = (int)poly[2 * i + 1];
+        int x1 = (int)poly[2 * j], y1 = (int)poly[2 * j + 1];
+        gymin = std::min(gymin, std::min(y0, y1));
+        gymax = std::max(gymax, std::max(y0, y1));
+        if (y0 == y1) {
+            hline(out, h, w, std::min(x0, x1), y0, std::max(x0, x1));
+            continue;
+        }
+        Edge e;
+        e.x0 = x0;
+        e.y0 = y0;
+        e.ymin = std::min(y0, y1);
+        e.ymax = std::max(y0, y1);
+        e.dx = (float)(x1 - x0) / (float)(y1 - y0);
+        edges.push_back(e);
     }
-    int y0 = std::max(0, (int)std::floor(ymin));
-    int y1 = std::min(h - 1, (int)std::floor(ymax));
-    std::vector<double> xs;
-    std::vector<std::pair<double, double>> spans;
-    for (int y = y0; y <= y1; y++) {
-        double yc = y + 0.5;
-        xs.clear();
-        spans.clear();
-        for (int i = 0; i < n; i++) {
-            int j = (i + 1) % n;
-            double x1p = poly[2 * i], y1p = poly[2 * i + 1];
-            double x2p = poly[2 * j], y2p = poly[2 * j + 1];
-            double lo = std::min(y1p, y2p), hi = std::max(y1p, y2p);
-            if (hi < y || lo >= y + 1) continue;
-            if (y1p == y2p) {
-                spans.emplace_back(std::min(x1p, x2p), std::max(x1p, x2p));
-                continue;
-            }
-            if (lo <= yc && yc < hi) {
-                double t = (yc - y1p) / (y2p - y1p);
-                xs.push_back(x1p + t * (x2p - x1p));
-            } else {
-                double ta = (std::max(lo, (double)y) - y1p) / (y2p - y1p);
-                double tb = (std::min(hi, (double)(y + 1)) - y1p) / (y2p - y1p);
-                double xa = x1p + ta * (x2p - x1p);
-                double xb = x1p + tb * (x2p - x1p);
-                spans.emplace_back(std::min(xa, xb), std::max(xa, xb));
+    if (edges.empty()) return;
+    gymin = std::max(gymin, 0);
+    gymax = std::min(gymax, h);
+
+    std::vector<float> xx(edges.size() * 2);
+    for (int y = gymin; y <= gymax; y++) {
+        int j = 0;
+        for (size_t i = 0; i < edges.size(); i++) {
+            const Edge& cur = edges[i];
+            if (!(y >= cur.ymin && y <= cur.ymax)) continue;
+            xx[j++] = cross_at(cur, y);
+            if (y == cur.ymax && y < gymax) {
+                // Edge ends here: duplicate the crossing to keep parity.
+                xx[j] = xx[j - 1];
+                j++;
+            } else if (cur.dx != 0.0f && j % 2 == 0 &&
+                       std::roundf(xx[j - 1]) == xx[j - 1]) {
+                // Connect discontiguous corners.
+                for (size_t k = 0; k < i; k++) {
+                    const Edge& other = edges[k];
+                    if ((cur.dx > 0 && other.dx <= 0) ||
+                        (cur.dx < 0 && other.dx >= 0)) {
+                        continue;
+                    }
+                    if (!((y == cur.ymin || y == cur.ymax) &&
+                          (y == other.ymin || y == other.ymax))) {
+                        continue;
+                    }
+                    if (xx[j - 1] == cross_at(other, y)) {
+                        int offset = (y == gymax) ? -1 : 1;
+                        float a = cross_at(cur, y + offset);
+                        float b = cross_at(other, y + offset);
+                        float v;
+                        bool widens;
+                        if (y == cur.ymax) {
+                            if (cur.dx > 0) {
+                                v = std::max(a, b) + 1.0f;
+                                widens = v < xx[j - 1];
+                            } else {
+                                v = std::min(a, b) - 1.0f;
+                                widens = v > xx[j - 1];
+                            }
+                        } else {
+                            if (cur.dx > 0) {
+                                v = std::min(a, b) - 1.0f;
+                                widens = v > xx[j - 1];
+                            } else {
+                                v = std::max(a, b) + 1.0f;
+                                widens = v < xx[j - 1];
+                            }
+                        }
+                        if (widens && (int)k < j) xx[k] = v;
+                        break;
+                    }
+                }
             }
         }
-        std::sort(xs.begin(), xs.end());
-        for (size_t i = 0; i + 1 < xs.size(); i += 2)
-            spans.emplace_back(xs[i], xs[i + 1]);
-        for (auto& sp : spans) {
-            int lo = (int)std::floor(sp.first);
-            int hi = (int)std::floor(sp.second);
-            if (hi < 0 || lo >= w) continue;
-            lo = std::max(lo, 0);
-            hi = std::min(hi, w - 1);
-            std::memset(out + y * w + lo, 1, hi - lo + 1);
+        std::sort(xx.begin(), xx.begin() + j);
+        for (int s = 0; s + 1 < j; s += 2) {
+            hline(out, h, w, round_up_half(xx[s]), y, round_down_half(xx[s + 1]));
         }
     }
 }

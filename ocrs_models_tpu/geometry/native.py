@@ -28,7 +28,19 @@ _load_failed = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB_PATH, _SRC],
+            [
+                "g++",
+                "-O3",
+                # fill_polygon's float32 crossing math must round like the
+                # numpy twin (two roundings, no fused multiply-add).
+                "-ffp-contract=off",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                "-o",
+                _LIB_PATH,
+                _SRC,
+            ],
             check=True,
             capture_output=True,
             timeout=240,

@@ -1,78 +1,163 @@
-"""Scanline polygon rasterization.
+"""Scanline polygon rasterization with exact PIL parity.
 
 First-party replacement for PIL ``ImageDraw.polygon`` in detection-mask
-generation (reference datasets/util.py:78-110). Fills pixels whose integer
-lattice coordinate lies inside or on the polygon (inclusive boundaries, like
-PIL's convention where ``polygon([(0,0),(4,0),(4,4),(0,4)])`` fills a 5x5
-block).
+generation (reference datasets/util.py:78-110). The reference rasterizes
+training masks through Pillow, so mask parity requires reproducing
+Pillow's fill rule *exactly*, which was reverse-engineered here by
+differential testing against Pillow 12 (see tools/raster_delta.py and
+docs/parity.md):
+
+- Vertex coordinates are truncated to ``int`` (C cast toward zero) before
+  rasterization — Pillow's C binding does this, so sub-pixel vertex
+  positions never reach the fill.
+- Horizontal edges are drawn directly as inclusive hlines at their row.
+- Non-horizontal edges contribute even-odd crossings at integer scanlines
+  ``y`` over ``[ymin, ymax]`` (float32 arithmetic, like Pillow's C); an
+  edge ending at this row duplicates its crossing (except on the global
+  last row).
+- Span ends round half-away-from-zero: left ``floor(x + 0.5)``, right
+  ``ceil(x - 0.5)``; a span whose rounded left exceeds its rounded right
+  draws nothing (no swap) — thin slivers legitimately skip rows.
+- "Connect discontiguous corners": when two same-sign-slope edges meet at
+  an exact-integer crossing at a shared endpoint row, the span is widened
+  toward the adjacent row's crossings (the even-indexed-crossing, widening
+  adjustments only).
+
+Residual divergence (documented, measured in RASTER_DELTA.json): polygons
+that truncate to degenerate sub-pixel slivers with duplicate vertices can
+differ by 1-2 boundary pixels; on a 30k-polygon HierText-like corpus this
+is ~0.03% of polygons and ~1e-6 of mask pixels.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
 from .polygon import shrink_polygon
 
+_F32 = np.float32
 
-def fill_polygon(width: int, height: int, poly, out: np.ndarray | None = None) -> np.ndarray:
-    """Rasterize a filled polygon into a ``[height, width]`` uint8 mask.
 
-    Even-odd scanline fill with PIL-style inclusive boundaries: every pixel
-    row/column the polygon touches is filled (span = ``floor(x_enter)`` to
-    ``floor(x_exit)``, rows ``floor(y_min)`` to ``floor(y_max)``), with
-    intersections evaluated at the pixel-center row clamped into each edge's
-    y-range.
-    """
+def _round_up(f: float) -> int:
+    # Pillow's ROUND_UP: round half away from zero.
+    return int(math.floor(f + 0.5)) if f >= 0 else -int(math.floor(abs(f) + 0.5))
+
+
+def _round_down(f: float) -> int:
+    # Pillow's ROUND_DOWN: round half toward zero.
+    return int(math.ceil(f - 0.5)) if f >= 0 else -int(math.ceil(abs(f) - 0.5))
+
+
+class _Edge:
+    __slots__ = ("x0", "y0", "ymin", "ymax", "dx")
+
+    def __init__(self, x0: int, y0: int, x1: int, y1: int):
+        self.ymin, self.ymax = (y0, y1) if y0 <= y1 else (y1, y0)
+        self.dx = _F32(x1 - x0) / _F32(y1 - y0)
+        self.x0 = x0
+        self.y0 = y0
+
+    def cross(self, y: int):
+        # float32 like Pillow's C: (y - y0) * dx + x0
+        return _F32(_F32(y - self.y0) * self.dx + _F32(self.x0))
+
+
+def fill_polygon(
+    width: int, height: int, poly, out: np.ndarray | None = None
+) -> np.ndarray:
+    """Rasterize a filled polygon into a ``[height, width]`` uint8 mask,
+    matching PIL ``ImageDraw.polygon(fill=...)`` output bit-for-bit (see
+    module docstring for the one documented residual)."""
     if out is None:
         out = np.zeros((height, width), dtype=np.uint8)
     p = np.asarray(poly, dtype=np.float64)
-    if len(p) < 3:
+    if len(p) < 2:
         return out
     from . import native
 
     if native.available() and out.flags.c_contiguous:
         native.fill_polygon(p, height, width, out)
         return out
-    ys = p[:, 1]
-    y0 = max(0, int(np.floor(ys.min())))
-    y1 = min(height - 1, int(np.floor(ys.max())))
-    if y1 < y0:
-        return out
 
-    a = p
-    b = np.roll(p, -1, axis=0)
-    for y in range(y0, y1 + 1):
-        yc = y + 0.5
-        xs: list[float] = []  # parity crossings at the pixel-center row
-        spans: list[tuple[float, float]] = []  # touched boundary sub-segments
-        for (x1p, y1p), (x2p, y2p) in zip(a, b):
-            lo, hi = (y1p, y2p) if y1p < y2p else (y2p, y1p)
-            if hi < y or lo >= y + 1:
-                continue  # edge does not touch pixel row [y, y+1)
-            if y1p != y2p and lo <= yc < hi:
-                # Crossing the pixel-center scanline: single parity entry.
-                t = (yc - y1p) / (y2p - y1p)
-                xs.append(x1p + t * (x2p - x1p))
-            else:
-                # Edge touches the row but not its center (or is horizontal):
-                # fill the touched sub-segment's x-extent directly so touched
-                # boundary pixels fill without affecting crossing parity.
-                if y1p == y2p:
-                    xa, xb = x1p, x2p
-                else:
-                    ta = (max(lo, float(y)) - y1p) / (y2p - y1p)
-                    tb = (min(hi, float(y + 1)) - y1p) / (y2p - y1p)
-                    xa = x1p + ta * (x2p - x1p)
-                    xb = x1p + tb * (x2p - x1p)
-                spans.append((min(xa, xb), max(xa, xb)))
-        xs.sort()
-        for i in range(0, len(xs) - 1, 2):
-            spans.append((xs[i], xs[i + 1]))
-        for lo_f, hi_f in spans:
-            lo_i = int(np.floor(lo_f))
-            hi_i = int(np.floor(hi_f))
-            if hi_i >= 0 and lo_i < width:
-                out[y, max(lo_i, 0) : min(hi_i, width - 1) + 1] = 1
+    def hline(x0: int, y: int, x1: int) -> None:
+        # Pillow's hline: no swap — reversed spans draw nothing.
+        if y < 0 or y >= height or x0 > x1 or x1 < 0 or x0 >= width:
+            return
+        out[y, max(x0, 0) : min(x1, width - 1) + 1] = 1
+
+    pts = [(int(x), int(y)) for x, y in p]
+    n = len(pts)
+    edges: list[_Edge] = []
+    gymin, gymax = height - 1, 0
+    for i in range(n):
+        x0, y0 = pts[i]
+        x1, y1 = pts[(i + 1) % n]
+        gymin = min(gymin, y0, y1)
+        gymax = max(gymax, y0, y1)
+        if y0 == y1:
+            hline(min(x0, x1), y0, max(x0, x1))
+            continue
+        edges.append(_Edge(x0, y0, x1, y1))
+    if not edges:
+        return out
+    gymin = max(gymin, 0)
+    gymax = min(gymax, height)
+
+    for y in range(gymin, gymax + 1):
+        xx: dict[int, np.float32] = {}
+        j = 0
+        for i, cur in enumerate(edges):
+            if not (cur.ymin <= y <= cur.ymax):
+                continue
+            xx[j] = cur.cross(y)
+            j += 1
+            if y == cur.ymax and y < gymax:
+                # Edge ends here: duplicate the crossing to keep parity.
+                xx[j] = xx[j - 1]
+                j += 1
+            elif (
+                cur.dx != 0
+                and j % 2 == 0
+                and float(xx[j - 1]).is_integer()
+            ):
+                # Connect discontiguous corners.
+                for k in range(i):
+                    other = edges[k]
+                    if (cur.dx > 0 and other.dx <= 0) or (
+                        cur.dx < 0 and other.dx >= 0
+                    ):
+                        continue
+                    if not (
+                        y in (cur.ymin, cur.ymax)
+                        and y in (other.ymin, other.ymax)
+                    ):
+                        continue
+                    if xx[j - 1] == other.cross(y):
+                        offset = -1 if y == gymax else 1
+                        a = cur.cross(y + offset)
+                        b = other.cross(y + offset)
+                        if y == cur.ymax:
+                            if cur.dx > 0:
+                                v = max(a, b) + _F32(1)
+                                widens = v < xx[j - 1]
+                            else:
+                                v = min(a, b) - _F32(1)
+                                widens = v > xx[j - 1]
+                        else:
+                            if cur.dx > 0:
+                                v = min(a, b) - _F32(1)
+                                widens = v > xx[j - 1]
+                            else:
+                                v = max(a, b) + _F32(1)
+                                widens = v < xx[j - 1]
+                        if widens:
+                            xx[k] = v
+                        break
+        vals = sorted(float(xx[s]) for s in range(j))
+        for s in range(0, j - 1, 2):
+            hline(_round_up(vals[s]), y, _round_down(vals[s + 1]))
     return out
 
 

@@ -125,10 +125,33 @@ class TestRaster:
         theirs = np.array(img, dtype=np.uint8)
         assert (ours == theirs).all()
 
+    def test_word_quads_exactly_match_pil(self):
+        # The mask-generation distribution: rotated word boxes shrunk by the
+        # 3px SHRINK_DISTANCE. The fill rule was derived from Pillow by
+        # differential testing and must stay bit-exact here.
+        from ocrs_models_tpu.geometry import shrink_polygon
+
+        rng = np.random.default_rng(7)
+        for trial in range(200):
+            w = rng.uniform(8, 80)
+            h = rng.uniform(8, 30)
+            ang = np.deg2rad(rng.uniform(-25, 25))
+            c, s = np.cos(ang), np.sin(ang)
+            quad = np.array([[0, 0], [w, 0], [w, h], [0, h]], float)
+            quad = quad @ np.array([[c, s], [-s, c]]) + rng.uniform(0, 40, 2)
+            poly = shrink_polygon(quad, 3.0)
+            if len(poly) < 3:
+                continue
+            ours = fill_polygon(120, 90, poly)
+            img = Image.new("1", (120, 90), 0)
+            ImageDraw.Draw(img).polygon([tuple(p) for p in poly], fill=1)
+            theirs = np.array(img, dtype=np.uint8)
+            assert (ours == theirs).all(), f"trial {trial}: {poly}"
+
     def test_random_polygons_close_to_pil(self):
         rng = np.random.default_rng(2)
         total = agree = 0
-        for _ in range(20):
+        for _ in range(50):
             n = rng.integers(3, 8)
             # Star-shaped (simple) polygon around a center.
             angles = np.sort(rng.uniform(0, 2 * np.pi, size=n))
@@ -143,9 +166,10 @@ class TestRaster:
             theirs = np.array(img, dtype=np.uint8)
             total += theirs.size
             agree += int((ours == theirs).sum())
-        # Allow tiny boundary-rule differences vs PIL (our fill includes all
-        # touched pixels; PIL under-fills some vertex rows).
-        assert agree / total > 0.99
+        # Sharp-apex corner rows can still differ by a pixel on degenerate
+        # geometry (documented residual, RASTER_DELTA.json); measured
+        # agreement on this family is ~1 - 2e-5.
+        assert agree / total > 0.9999
 
     def test_generate_mask_shrinks(self):
         mask = generate_mask(40, 20, [rect(0, 0, 39, 19)], shrink_dist=3.0)

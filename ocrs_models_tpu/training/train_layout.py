@@ -52,7 +52,11 @@ def run_epoch(loader, mesh, state, step_fn, lr=None, rng=None, train=True):
 
 def main(argv=None):
     parser = ArgumentParser(description="Train text layout model.")
-    parser.add_argument("data_dir", help="WebLayout JSON dir, or 'synthetic'")
+    parser.add_argument(
+        "data_dir",
+        help="WebLayout JSON dir, 'synthetic' (flat lines), or "
+        "'synthetic-doc' (structured-document generator)",
+    )
     parser.add_argument("--checkpoint", type=str)
     parser.add_argument("--export", type=str)
     parser.add_argument("--max-epochs", type=int)
@@ -73,6 +77,22 @@ def main(argv=None):
     if args.data_dir == "synthetic":
         train_ds = SyntheticLayout(size=args.max_images or 128, n_words=cfg.n_words, seed=seed)
         val_ds = SyntheticLayout(size=32, n_words=cfg.n_words, seed=seed + 1)
+    elif args.data_dir == "synthetic-doc":
+        # First-party structured-document generator (the browser-scraper
+        # replacement, data/layout_synth.py): realistic multi-column pages
+        # with word-wrap, headings, lists — raw pixel coords + jitter like
+        # the web-layout path.
+        from ..data.layout_synth import SyntheticDocLayout
+
+        train_ds = SyntheticDocLayout(
+            size=args.max_images or 256, n_words=cfg.n_words, seed=seed,
+            train=True, normalize_coords=False, randomize=True,
+            max_jitter=cfg.max_jitter,
+        )
+        val_ds = SyntheticDocLayout(
+            size=max(32, (args.max_images or 256) // 8), n_words=cfg.n_words,
+            seed=seed, train=False, normalize_coords=False,
+        )
     else:
         from ..data.web_layout import WebLayout
 

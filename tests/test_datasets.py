@@ -212,3 +212,71 @@ class TestDatasetAugmentSeam:
         s = ds[0]
         assert s["image"].shape[0] == 64
         assert s["image"].min() >= -0.5 and s["image"].max() <= 0.5
+
+
+class TestLayoutSynth:
+    def test_schema_round_trips_through_web_layout(self, tmp_path):
+        from ocrs_models_tpu.data.layout_synth import (
+            DocumentSynthesizer,
+            write_corpus,
+        )
+        from ocrs_models_tpu.data.web_layout import WebLayout, extract_word_boxes
+
+        write_corpus(str(tmp_path), 1, seed=3)
+        ds = WebLayout(str(tmp_path), train=True, normalize_coords=False,
+                       padded_size=500)
+        boxes, labels = ds[0]
+        assert boxes.shape == (500, 4)
+        # Loader output must equal direct extraction from the same page dict.
+        content = DocumentSynthesizer(seed=3).page(0)
+        b2, l2 = extract_word_boxes(content, normalize_coords=False)
+        k = min(len(b2), 500)
+        assert np.allclose(boxes[:k], b2[:k])
+        assert np.allclose(labels[:k], l2[:k])
+
+    def test_pages_have_document_structure(self):
+        from ocrs_models_tpu.data.layout_synth import DocumentSynthesizer
+
+        synth = DocumentSynthesizer(seed=1)
+        page = synth.page(0)
+        assert page["resolution"]["width"] >= 800
+        n_words = sum(len(p["words"]) for p in page["paragraphs"])
+        assert len(page["paragraphs"]) >= 4
+        assert n_words >= 100
+        # Multi-line paragraphs exist (word wrap happened): some paragraph
+        # has words on more than one row.
+        wrapped = False
+        for p in page["paragraphs"]:
+            tops = {w["coords"][1] for w in p["words"]}
+            if len(tops) > 2:
+                wrapped = True
+        assert wrapped
+        # Word boxes are within the viewport and non-degenerate.
+        for p in page["paragraphs"]:
+            for w in p["words"]:
+                l, t, r, b = w["coords"]
+                assert 0 <= l < r <= page["resolution"]["width"]
+                assert 0 <= t < b <= page["resolution"]["height"] + 1
+
+    def test_labels_mark_wrap_points(self):
+        from ocrs_models_tpu.data.layout_synth import SyntheticDocLayout
+
+        ds = SyntheticDocLayout(size=4, n_words=500, seed=0)
+        boxes, labels = ds[0]
+        k = int((np.abs(boxes).sum(axis=1) > 0).sum())
+        starts = labels[:k, 0].sum()
+        ends = labels[:k, 1].sum()
+        assert starts > 5  # many lines on a structured page
+        assert abs(starts - ends) <= 1  # starts and ends pair up
+        # Deterministic per index.
+        b2, l2 = SyntheticDocLayout(size=4, n_words=500, seed=0)[0]
+        assert np.array_equal(boxes, b2) and np.array_equal(labels, l2)
+
+    def test_train_val_streams_disjoint(self):
+        from ocrs_models_tpu.data.layout_synth import SyntheticDocLayout
+
+        tr = SyntheticDocLayout(size=4, seed=0, train=True)
+        va = SyntheticDocLayout(size=4, seed=0, train=False)
+        bt, _ = tr[0]
+        bv, _ = va[0]
+        assert not np.array_equal(bt, bv)

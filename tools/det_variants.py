@@ -180,26 +180,23 @@ def extra(which="all"):
             )
             return fnn.relu(xc)
 
-        det.DepthwiseConv.__call__ = patched
+        det.DepthwiseConv.__call__ = fnn.compact(patched)
         try:
             bench("nchwconv", make_grad(), args)
         finally:
             det.DepthwiseConv.__call__ = orig
 
     if which in ("all", "remat"):
-        orig_dc = det.DoubleConv.__call__
-        rem = jax.checkpoint(
-            lambda mdl, x, train: orig_dc(mdl, x, train), static_argnums=(2,)
+        import flax.linen as fnn2
+
+        orig_cls = det.DoubleConv
+        det.DoubleConv = fnn2.remat(
+            orig_cls, static_argnums=(2,), prevent_cse=False
         )
-
-        def patched_dc(self, x, train):
-            return rem(self, x, train)
-
-        det.DoubleConv.__call__ = patched_dc
         try:
             bench("remat", make_grad(), args)
         finally:
-            det.DoubleConv.__call__ = orig_dc
+            det.DoubleConv = orig_cls
 
 
 

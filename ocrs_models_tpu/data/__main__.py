@@ -7,7 +7,7 @@ crops named by their decoded text, layout boxes colored by labels.
 Usage:
     python -m ocrs_models_tpu.data <type> <root_dir> <out_dir> [--max-images N]
     types: hiertext, hiertext-rec, ddi, web-layout,
-           synthetic, synthetic-rec, synthetic-layout
+           synthetic, synthetic-rec, synthetic-layout, synthetic-doc
 """
 
 from __future__ import annotations
@@ -40,7 +40,7 @@ def main(argv=None):
         "dataset_type",
         choices=[
             "hiertext", "hiertext-rec", "ddi", "web-layout",
-            "synthetic", "synthetic-rec", "synthetic-layout",
+            "synthetic", "synthetic-rec", "synthetic-layout", "synthetic-doc",
         ],
     )
     parser.add_argument("root_dir")
@@ -84,7 +84,7 @@ def main(argv=None):
                 f"{args.out_dir}/rec-{i}-{safe}.png"
             )
 
-    else:  # web-layout / synthetic-layout
+    else:  # web-layout / synthetic-layout / synthetic-doc
         if args.dataset_type == "web-layout":
             from .web_layout import WebLayout
 
@@ -92,6 +92,10 @@ def main(argv=None):
                 args.root_dir, train=True, max_images=n,
                 normalize_coords=False, padded_size=None,
             )
+        elif args.dataset_type == "synthetic-doc":
+            from .layout_synth import SyntheticDocLayout
+
+            ds = SyntheticDocLayout(size=n, normalize_coords=False)
         else:
             from .synthetic import SyntheticLayout
 

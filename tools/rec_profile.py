@@ -13,7 +13,9 @@ import numpy as np
 
 
 def _fetch(x):
-    np.asarray(jax.device_get(x))
+    # Fetch a scalar, not the tensor — device_get of a large array through
+    # the axon tunnel would dominate the measurement.
+    np.asarray(jax.device_get(jnp.sum(x)))
 
 
 def timeit(fn, *args, iters=20, warm=3):

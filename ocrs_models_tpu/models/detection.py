@@ -27,6 +27,30 @@ import numpy as np
 _CHANNELS_FIRST_MAX = 32
 
 
+def _use_fused_conv(dtype, c: int, h: int, w: int, o: int) -> bool:
+    """Fused Pallas dw-sep path policy — opt-in via OCRS_TPU_FUSED_CONV=1.
+
+    Status (docs/det_perf.md): the BlockSpec-halo kernel compiles on this
+    rig (the round-1 manual-DMA design never did) and beats XLA in
+    isolation (2.32 vs 2.92 ms on the L0 block), but loses in the full
+    model (fwd 39.4 vs 35.2 ms at batch 8): the opaque custom call breaks
+    XLA's BN/ReLU/pad producer-consumer fusion, and its f32 tap math is
+    VPU-bound. Winning needs bf16 taps + folded BN epilogue + a fused
+    backward kernel — tracked as the next detection perf round. Requires
+    single-device TPU + bf16 + a C<=32 geometry either way."""
+    import os
+
+    if os.environ.get("OCRS_TPU_FUSED_CONV") != "1":
+        return False
+    if dtype != jnp.bfloat16:
+        return False
+    if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+        return False
+    from ..ops.pallas.conv_block import shapes_supported
+
+    return shapes_supported(c, h, w, o)
+
+
 def _dw_init(key, shape, dtype=jnp.float32):
     # lecun_normal over the depthwise kernel's receptive field (fan_in = 9),
     # matching nn.Conv's default for grouped kernels.
@@ -115,23 +139,34 @@ class DepthwiseConv(nn.Module):
         wp = pw_kernel.astype(dt)
 
         if cf:
-            # Depthwise 3x3 as nine shifted multiply-adds over [H, W] planes
-            # (full lane utilization at any channel count). Measured best
-            # XLA formulation: a real NCHW grouped conv is 1.6x slower and
-            # moves 1.7x the bytes in the train step (docs/det_perf.md).
             n, c, h, w = xc.shape
-            xp = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (1, 1)))
-            out = None
-            for dy in range(3):
-                for dx in range(3):
-                    term = xp[:, :, dy : dy + h, dx : dx + w] * wd[dy, dx, 0][
-                        None, :, None, None
-                    ]
-                    out = term if out is None else out + term
-            # Pointwise over the channel axis; spatial stays on lanes.
-            xc = jnp.einsum(
-                "nchw,co->nohw", out, wp, preferred_element_type=jnp.float32
-            ).astype(dt)
+            if _use_fused_conv(dt, c, h, w, self.features):
+                # One-HBM-pass Pallas kernel: dw taps + pointwise MXU
+                # contraction with the row band resident in VMEM
+                # (ops/pallas/conv_block.py; ~1.3x the XLA forward and the
+                # stepping stone to the fused backward).
+                from ..ops.pallas.conv_block import fused_dwsep
+
+                wd_cf = jnp.transpose(dw_kernel[:, :, 0, :], (2, 0, 1))
+                xc = fused_dwsep(xc, wd_cf, pw_kernel)
+            else:
+                # Depthwise 3x3 as nine shifted multiply-adds over [H, W]
+                # planes (full lane utilization at any channel count).
+                # Measured best XLA formulation: a real NCHW grouped conv is
+                # 1.6x slower and moves 1.7x the bytes in the train step
+                # (docs/det_perf.md).
+                xp = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (1, 1)))
+                out = None
+                for dy in range(3):
+                    for dx in range(3):
+                        term = xp[:, :, dy : dy + h, dx : dx + w] * wd[dy, dx, 0][
+                            None, :, None, None
+                        ]
+                        out = term if out is None else out + term
+                # Pointwise over the channel axis; spatial stays on lanes.
+                xc = jnp.einsum(
+                    "nchw,co->nohw", out, wp, preferred_element_type=jnp.float32
+                ).astype(dt)
             bn_axis = 1
         else:
             xc = jax.lax.conv_general_dilated(

@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.gru import BiGRU
+from .detection import BatchNormLite
 
 
 class RecognitionModel(nn.Module):
@@ -47,13 +48,13 @@ class RecognitionModel(nn.Module):
         x = x.astype(dt)
 
         def bn(name):
-            return nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=jnp.float32,
-                name=name,
-            )
+            # BatchNormLite: float32 statistics with activation-dtype
+            # traffic. nn.BatchNorm(dtype=f32) forced full f32 round trips
+            # of the [N, H, W/2, 64..128] stage tensors — several hundred
+            # MB per wide-bucket step. Parameter/batch-stats tree structure
+            # is identical, so checkpoints are unaffected.
+            mod = BatchNormLite(momentum=0.9, epsilon=1e-5, axis=-1, name=name)
+            return lambda x: mod(x, use_running_average=not train)
 
         p1 = ((1, 1), (1, 1))
         # Stage 1: 64xW -> 32 x W/2

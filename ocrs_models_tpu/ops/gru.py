@@ -35,6 +35,9 @@ def _resolve_backend(backend: str) -> str:
     The Pallas path needs a per-device call; under multi-device GSPMD the
     recurrence stays on the scan path until it is wrapped in shard_map
     (single-chip is where the kernel-launch overhead matters most anyway).
+    'pallas' is the v1 one-step-per-grid kernel — measured fastest
+    (23.7 ms wide-bucket step vs 26.9 for the chunked direction-fused v2
+    'pallas2' and 32.3 for scan); v2 stays selectable for future tuning.
     """
     if backend != "auto":
         return backend
@@ -49,7 +52,7 @@ class GRUCellScan(nn.Module):
     hidden: int
     compute_dtype: jnp.dtype = jnp.float32
     unroll: int = 4
-    backend: str = "auto"  # "auto" | "pallas" | "scan"
+    backend: str = "auto"  # "auto" | "pallas2" | "pallas" | "scan"
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
@@ -96,7 +99,12 @@ class GRUCellScan(nn.Module):
         b_hh = jnp.stack([bf_hh, bb_hh])  # [2, 3H] f32
 
         backend = _resolve_backend(self.backend)
-        if backend == "pallas":
+        if backend == "pallas2":
+            from .pallas.gru_kernel2 import gru_recurrence2
+
+            interpret = jax.default_backend() != "tpu"
+            ys = gru_recurrence2(px, w_hh, b_hh, cdt, interpret)
+        elif backend == "pallas":
             from .pallas.gru_kernel import gru_recurrence
 
             interpret = jax.default_backend() != "tpu"

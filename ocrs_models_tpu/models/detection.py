@@ -27,28 +27,21 @@ import numpy as np
 _CHANNELS_FIRST_MAX = 32
 
 
-def _use_fused_conv(dtype, c: int, h: int, w: int, o: int) -> bool:
-    """Fused Pallas dw-sep path policy — opt-in via OCRS_TPU_FUSED_CONV=1.
+def _fused_chain_mode() -> str | None:
+    """Fused conv-chain policy — opt-in via ``OCRS_TPU_FUSED_CONV``.
 
-    Status (docs/det_perf.md): the BlockSpec-halo kernel compiles on this
-    rig (the round-1 manual-DMA design never did) and beats XLA in
-    isolation (2.32 vs 2.92 ms on the L0 block), but loses in the full
-    model (fwd 39.4 vs 35.2 ms at batch 8): the opaque custom call breaks
-    XLA's BN/ReLU/pad producer-consumer fusion, and its f32 tap math is
-    VPU-bound. Winning needs bf16 taps + folded BN epilogue + a fused
-    backward kernel — tracked as the next detection perf round. Requires
-    single-device TPU + bf16 + a C<=32 geometry either way."""
+    ``1``: run the split-BN Pallas chain (ops/pallas/conv_chain.py) on a
+    single real TPU with bf16 compute. ``interp``: run it in interpret
+    mode on any backend (tests). Returns ``"tpu"``, ``"interp"`` or None.
+    """
     import os
 
-    if os.environ.get("OCRS_TPU_FUSED_CONV") != "1":
-        return False
-    if dtype != jnp.bfloat16:
-        return False
-    if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
-        return False
-    from ..ops.pallas.conv_block import shapes_supported
-
-    return shapes_supported(c, h, w, o)
+    val = os.environ.get("OCRS_TPU_FUSED_CONV")
+    if val == "interp":
+        return "interp"
+    if val == "1" and jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+        return "tpu"
+    return None
 
 
 def _dw_init(key, shape, dtype=jnp.float32):
@@ -74,11 +67,25 @@ class BatchNormLite(nn.Module):
     axis: int = -1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
-        ax = self.axis % x.ndim
-        c = x.shape[ax]
-        reduce_axes = tuple(i for i in range(x.ndim) if i != ax)
-        shape = tuple(c if i == ax else 1 for i in range(x.ndim))
+    def __call__(
+        self,
+        x: jnp.ndarray | None,
+        use_running_average: bool,
+        moments: tuple[jnp.ndarray, jnp.ndarray, int] | None = None,
+    ):
+        """Normalize ``x`` — or, when ``moments=(s1, s2, count)`` is given
+        (per-channel sums of the pre-BN tensor and its square over `count`
+        elements, as emitted by the fused conv-chain kernel), update the
+        running stats and return the fold scalars ``(inv, bias')`` f32
+        ``[C]`` such that ``bn(x) = x * inv + bias'`` — applied downstream
+        by the next kernel's prologue or an XLA elementwise pass."""
+        if moments is not None:
+            c = moments[0].shape[0]
+        else:
+            ax = self.axis % x.ndim
+            c = x.shape[ax]
+            reduce_axes = tuple(i for i in range(x.ndim) if i != ax)
+            shape = tuple(c if i == ax else 1 for i in range(x.ndim))
 
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -92,11 +99,16 @@ class BatchNormLite(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
-            if not self.is_initializing():
+            if moments is not None:
+                s1, s2, n = moments
+                mean = s1 / n
+                var = s2 / n - jnp.square(mean)
+            else:
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=reduce_axes)
+                var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
                 n = np.prod([x.shape[i] for i in reduce_axes])
+            if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -106,6 +118,8 @@ class BatchNormLite(nn.Module):
                 )
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        if moments is not None:
+            return inv, bias - mean * inv
         # Fold the f32 scalars, then apply in the activation dtype: the big
         # tensors never round-trip through f32 HBM traffic.
         inv_c = inv.reshape(shape).astype(x.dtype)
@@ -126,7 +140,19 @@ class DepthwiseConv(nn.Module):
     channels_first: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool,
+        fold_in: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+        defer_bn: bool = False,
+    ):
+        """Standard call: activated output. Chain call (``defer_bn=True``,
+        channels-first only): run the fused split-BN Pallas kernel
+        (ops/pallas/conv_chain.py) — applying the *previous* block's BN
+        fold + ReLU as the kernel prologue when ``fold_in`` is given — and
+        return ``(y_pre, fold_out)`` where ``fold_out = (inv, bias')`` are
+        this block's BN fold scalars for the next stage to apply."""
         cf = self.channels_first
         in_ch = x.shape[1] if cf else x.shape[-1]
         dw_kernel = self.param("dw_kernel", _dw_init, (3, 3, 1, in_ch))
@@ -138,35 +164,45 @@ class DepthwiseConv(nn.Module):
         wd = dw_kernel.astype(dt)
         wp = pw_kernel.astype(dt)
 
+        if defer_bn:
+            from ..ops.pallas.conv_chain import conv_chain
+
+            assert cf, "chain protocol is channels-first only"
+            n, c, h, w = xc.shape
+            wd_cf = jnp.transpose(dw_kernel[:, :, 0, :], (2, 0, 1))
+            if fold_in is None:
+                inv = jnp.ones((c,), jnp.float32)
+                bias = jnp.zeros((c,), jnp.float32)
+            else:
+                inv, bias = fold_in
+            y, s1, s2 = conv_chain(
+                xc, inv, bias, wd_cf, pw_kernel,
+                fold_in is not None, _fused_chain_mode() == "interp",
+            )
+            fold_out = BatchNormLite(
+                momentum=0.9, epsilon=1e-5, axis=1, name="bn"
+            )(None, not train, moments=(s1, s2, n * h * w))
+            return y, fold_out
+
         if cf:
             n, c, h, w = xc.shape
-            if _use_fused_conv(dt, c, h, w, self.features):
-                # One-HBM-pass Pallas kernel: dw taps + pointwise MXU
-                # contraction with the row band resident in VMEM
-                # (ops/pallas/conv_block.py; ~1.3x the XLA forward and the
-                # stepping stone to the fused backward).
-                from ..ops.pallas.conv_block import fused_dwsep
-
-                wd_cf = jnp.transpose(dw_kernel[:, :, 0, :], (2, 0, 1))
-                xc = fused_dwsep(xc, wd_cf, pw_kernel)
-            else:
-                # Depthwise 3x3 as nine shifted multiply-adds over [H, W]
-                # planes (full lane utilization at any channel count).
-                # Measured best XLA formulation: a real NCHW grouped conv is
-                # 1.6x slower and moves 1.7x the bytes in the train step
-                # (docs/det_perf.md).
-                xp = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (1, 1)))
-                out = None
-                for dy in range(3):
-                    for dx in range(3):
-                        term = xp[:, :, dy : dy + h, dx : dx + w] * wd[dy, dx, 0][
-                            None, :, None, None
-                        ]
-                        out = term if out is None else out + term
-                # Pointwise over the channel axis; spatial stays on lanes.
-                xc = jnp.einsum(
-                    "nchw,co->nohw", out, wp, preferred_element_type=jnp.float32
-                ).astype(dt)
+            # Depthwise 3x3 as nine shifted multiply-adds over [H, W]
+            # planes (full lane utilization at any channel count).
+            # Measured best XLA formulation: a real NCHW grouped conv is
+            # 1.6x slower and moves 1.7x the bytes in the train step
+            # (docs/det_perf.md).
+            xp = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (1, 1)))
+            out = None
+            for dy in range(3):
+                for dx in range(3):
+                    term = xp[:, :, dy : dy + h, dx : dx + w] * wd[dy, dx, 0][
+                        None, :, None, None
+                    ]
+                    out = term if out is None else out + term
+            # Pointwise over the channel axis; spatial stays on lanes.
+            xc = jnp.einsum(
+                "nchw,co->nohw", out, wp, preferred_element_type=jnp.float32
+            ).astype(dt)
             bn_axis = 1
         else:
             xc = jax.lax.conv_general_dilated(
@@ -188,8 +224,23 @@ class DepthwiseConv(nn.Module):
         return nn.relu(xc)
 
 
+def _apply_fold(y: jnp.ndarray, fold) -> jnp.ndarray:
+    """``relu(bn(y))`` from fold scalars, in y's dtype. XLA fuses this
+    elementwise tail into whatever consumes it (pool, concat, out_conv)."""
+    inv, bias = fold
+    return nn.relu(
+        y * inv[None, :, None, None].astype(y.dtype)
+        + bias[None, :, None, None].astype(y.dtype)
+    )
+
+
 class DoubleConv(nn.Module):
-    """Two stacked depthwise-separable conv blocks (reference models.py:31-41)."""
+    """Two stacked depthwise-separable conv blocks (reference models.py:31-41).
+
+    When the fused-chain policy is on (channels-first levels, supported
+    geometry), the two blocks run as two split-BN Pallas kernel calls with
+    the intermediate tensor touched exactly twice, and the final BN+ReLU
+    left to XLA to fuse into this module's consumers."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
@@ -197,12 +248,26 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = DepthwiseConv(self.features, self.dtype, self.channels_first, name="conv0")(
-            x, train
+        conv0 = DepthwiseConv(
+            self.features, self.dtype, self.channels_first, name="conv0"
         )
-        return DepthwiseConv(
+        conv1 = DepthwiseConv(
             self.features, self.dtype, self.channels_first, name="conv1"
-        )(x, train)
+        )
+        if self.channels_first and _fused_chain_mode() is not None:
+            from ..ops.pallas.conv_chain import chain_shapes_supported
+
+            n, c, h, w = x.shape
+            f = self.features
+            isz = jnp.dtype(self.dtype).itemsize
+            if chain_shapes_supported(c, f, h, w, isz) and chain_shapes_supported(
+                f, f, h, w, isz
+            ):
+                y0, fold0 = conv0(x, train, defer_bn=True)
+                y1, fold1 = conv1(y0, train, fold_in=fold0, defer_bn=True)
+                return _apply_fold(y1, fold1)
+        x = conv0(x, train)
+        return conv1(x, train)
 
 
 def _to_cf(x):  # NHWC -> NCHW

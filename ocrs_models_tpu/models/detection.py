@@ -31,16 +31,20 @@ def _fused_chain_mode() -> str | None:
     """Fused conv-chain policy — opt-in via ``OCRS_TPU_FUSED_CONV``.
 
     ``1``: run the split-BN Pallas chain (ops/pallas/conv_chain.py) on a
-    single real TPU with bf16 compute. ``interp``: run it in interpret
-    mode on any backend (tests). Returns ``"tpu"``, ``"interp"`` or None.
+    single real TPU, with the previous block's BN+ReLU applied as the
+    kernel prologue. ``xf``: same kernels but every BN+ReLU applied
+    between kernels by an XLA elementwise pass (one extra HBM pass per
+    block; avoids the in-kernel prologue constructs). ``interp`` /
+    ``interp-xf``: interpret mode on any backend (tests). Returns
+    ``"tpu"``, ``"xf"``, ``"interp"``, ``"interp-xf"`` or None.
     """
     import os
 
     val = os.environ.get("OCRS_TPU_FUSED_CONV")
-    if val == "interp":
-        return "interp"
-    if val == "1" and jax.default_backend() == "tpu" and len(jax.devices()) == 1:
-        return "tpu"
+    if val in ("interp", "interp-xf"):
+        return val
+    if val in ("1", "xf") and jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+        return "tpu" if val == "1" else "xf"
     return None
 
 
@@ -177,7 +181,8 @@ class DepthwiseConv(nn.Module):
                 inv, bias = fold_in
             y, s1, s2 = conv_chain(
                 xc, inv, bias, wd_cf, pw_kernel,
-                fold_in is not None, _fused_chain_mode() == "interp",
+                fold_in is not None,
+                _fused_chain_mode() in ("interp", "interp-xf"),
             )
             fold_out = BatchNormLite(
                 momentum=0.9, epsilon=1e-5, axis=1, name="bn"
@@ -260,11 +265,27 @@ class DoubleConv(nn.Module):
             n, c, h, w = x.shape
             f = self.features
             isz = jnp.dtype(self.dtype).itemsize
-            if chain_shapes_supported(c, f, h, w, isz) and chain_shapes_supported(
-                f, f, h, w, isz
-            ):
+            chain0 = chain_shapes_supported(c, f, h, w, isz)
+            chain1 = chain_shapes_supported(f, f, h, w, isz)
+            xf = _fused_chain_mode() in ("xf", "interp-xf")
+            # Degrade per-conv: a block outside the kernel's geometry gate
+            # runs the standard XLA path; its neighbour still chains with
+            # fold_in=None (activated input) / an XLA-applied fold.
+            if chain0 and chain1:
                 y0, fold0 = conv0(x, train, defer_bn=True)
-                y1, fold1 = conv1(y0, train, fold_in=fold0, defer_bn=True)
+                if xf:
+                    y1, fold1 = conv1(
+                        _apply_fold(y0, fold0), train, defer_bn=True
+                    )
+                else:
+                    y1, fold1 = conv1(y0, train, fold_in=fold0, defer_bn=True)
+                return _apply_fold(y1, fold1)
+            if chain0:
+                y0, fold0 = conv0(x, train, defer_bn=True)
+                return conv1(_apply_fold(y0, fold0), train)
+            if chain1:
+                x = conv0(x, train)
+                y1, fold1 = conv1(x, train, defer_bn=True)
                 return _apply_fold(y1, fold1)
         x = conv0(x, train)
         return conv1(x, train)

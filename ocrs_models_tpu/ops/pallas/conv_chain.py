@@ -32,9 +32,11 @@ passed twice, a ``th``-row main band plus a ``_HB``-row halo band
 starting exactly at the band end, assembled into a ``(th+2)``-row window
 in VMEM scratch.
 
-The op carries a ``jax.custom_vjp`` whose backward is currently XLA
-autodiff of the pure-JAX reference (correct by construction; the fused
-backward kernel is the follow-up stage).
+The op carries a ``jax.custom_vjp``; the backward is a second fused
+kernel (``_bwd_kernel``) emitting dx (transposed stencil through the
+folded weights, gated through the recomputed prologue), the per-tap
+folded weight grads and the fold-scalar grads in one HBM pass per band,
+validated against XLA autodiff of the pure-JAX reference.
 """
 
 from __future__ import annotations
@@ -85,8 +87,11 @@ def _chain_kernel(
         s2_s[...] = jnp.zeros_like(s2_s)
 
     if bn_relu:
-        inv = fold_ref[0][:, None, None].astype(win.dtype)
-        bias = fold_ref[1][:, None, None].astype(win.dtype)
+        # fold arrives as [2, C, 1, 1]: per-channel scalars on the outer
+        # dims. A [C]-on-lanes layout with a lane->outer broadcast crashes
+        # this rig's Mosaic compiler; scalar-per-2D-slice broadcast works.
+        inv = fold_ref[0].astype(win.dtype)
+        bias = fold_ref[1].astype(win.dtype)
         a = jnp.maximum(win * inv + bias, 0)
         # The affine shifts padding zeros to relu(bias) — mask back to the
         # conv's zero-padding semantics. Window row r is original row
@@ -143,7 +148,7 @@ def _fwd_call(x, inv, bias, wd, wp, bn_relu, interpret):
     xp = jnp.pad(
         x, ((0, 0), (0, 0), (1, h_tiled - h + _HB - 1), (1, w_pad - w - 1))
     )
-    fold = jnp.stack([inv, bias]).astype(jnp.float32)  # [2, C]
+    fold = jnp.stack([inv, bias]).astype(jnp.float32)[:, :, None, None]
     wq = fold_weights(wd, wp)
     y, s1, s2 = pl.pallas_call(
         functools.partial(
@@ -155,7 +160,7 @@ def _fwd_call(x, inv, bias, wd, wp, bn_relu, interpret):
             pl.BlockSpec(
                 (1, c, _HB, w_pad), lambda i, j: (i, 0, (j + 1) * (th // _HB), 0)
             ),
-            pl.BlockSpec((2, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((2, c, 1, 1), lambda i, j: (0, 0, 0, 0)),
             pl.BlockSpec((9, o, c), lambda i, j: (0, 0, 0)),
         ],
         out_specs=[
@@ -258,8 +263,8 @@ def _bwd_kernel(
     gwin = gwin_s[...]  # [O, th+_HB, w_pad]; zero outside the valid image
 
     if bn_relu:
-        inv = fold_ref[0][:, None, None].astype(xwin.dtype)
-        bias = fold_ref[1][:, None, None].astype(xwin.dtype)
+        inv = fold_ref[0].astype(xwin.dtype)  # [C, 1, 1]
+        bias = fold_ref[1].astype(xwin.dtype)
         z = xwin * inv + bias
         rows = jax.lax.broadcasted_iota(jnp.int32, xwin.shape, 1) + j * th - 1
         cols = jax.lax.broadcasted_iota(jnp.int32, xwin.shape, 2) - 1
@@ -296,23 +301,19 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    da3 = da.reshape(c, th, w_out)
     if bn_relu:
-        gate = (
-            (z[:, 1 : 1 + th, 1 : 1 + w_out] > 0)
-            & valid[:, 1 : 1 + th, 1 : 1 + w_out]
-        ).reshape(c, th * w_out)
-        dz = jnp.where(gate, da, 0)
-        x_band = (
-            xwin[:, 1 : 1 + th, 1 : 1 + w_out]
-            .reshape(c, th * w_out)
-            .astype(jnp.float32)
-        )
-        dinv_s[...] += jnp.sum(dz * x_band, axis=1)[None, :]
-        dbias_s[...] += jnp.sum(dz, axis=1)[None, :]
-        dx = dz * fold_ref[0][:, None]
+        gate = (z[:, 1 : 1 + th, 1 : 1 + w_out] > 0) & valid[
+            :, 1 : 1 + th, 1 : 1 + w_out
+        ]
+        dz = jnp.where(gate, da3, 0)
+        x_band = xwin[:, 1 : 1 + th, 1 : 1 + w_out].astype(jnp.float32)
+        dinv_s[...] += jnp.sum(dz * x_band, axis=(1, 2))[None, :]
+        dbias_s[...] += jnp.sum(dz, axis=(1, 2))[None, :]
+        dx = dz * fold_ref[0]
     else:
-        dx = da
-    dx_ref[0] = dx.reshape(c, th, w_out).astype(dx_ref.dtype)
+        dx = da3
+    dx_ref[0] = dx.astype(dx_ref.dtype)
 
     @pl.when(
         jnp.logical_and(i == pl.num_programs(0) - 1, j == pl.num_programs(1) - 1)
@@ -334,7 +335,7 @@ def _bwd_call(x, dyt, inv, bias, wd, wp, bn_relu, interpret):
     pad = ((0, 0), (0, 0), (1, h_tiled - h + _HB - 1), (1, w_pad - w - 1))
     xp = jnp.pad(x, pad)
     gp = jnp.pad(dyt, pad)
-    fold = jnp.stack([inv, bias]).astype(jnp.float32)
+    fold = jnp.stack([inv, bias]).astype(jnp.float32)[:, :, None, None]
     wq = fold_weights(wd, wp)
     dx, dwq, dinv, dbias = pl.pallas_call(
         functools.partial(
@@ -350,7 +351,7 @@ def _bwd_call(x, dyt, inv, bias, wd, wp, bn_relu, interpret):
             pl.BlockSpec(
                 (1, o, _HB, w_pad), lambda i, j: (i, 0, (j + 1) * (th // _HB), 0)
             ),
-            pl.BlockSpec((2, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((2, c, 1, 1), lambda i, j: (0, 0, 0, 0)),
             pl.BlockSpec((9, o, c), lambda i, j: (0, 0, 0)),
         ],
         out_specs=[

@@ -34,27 +34,27 @@ def _loss_fn(model, variables, x):
     return f
 
 
-def test_chain_forward_matches_standard(setup, monkeypatch):
+@pytest.mark.parametrize("mode", ["interp", "interp-xf"])
+def test_chain_forward_matches_standard(setup, monkeypatch, mode):
     model, variables, x = setup
     y_std = model.apply(variables, x, train=False)
-    monkeypatch.setenv("OCRS_TPU_FUSED_CONV", "interp")
+    monkeypatch.setenv("OCRS_TPU_FUSED_CONV", mode)
     y_chain = model.apply(variables, x, train=False)
     np.testing.assert_allclose(
         np.asarray(y_chain), np.asarray(y_std), rtol=1e-4, atol=1e-4
     )
 
 
-def test_chain_train_grads_and_stats_match_standard(setup, monkeypatch):
+@pytest.mark.parametrize("mode", ["interp", "interp-xf"])
+def test_chain_train_grads_and_stats_match_standard(setup, monkeypatch, mode):
     model, variables, x = setup
     f = _loss_fn(model, variables, x)
     (l_std, up_std), g_std = jax.value_and_grad(f, has_aux=True)(variables["params"])
-    monkeypatch.setenv("OCRS_TPU_FUSED_CONV", "interp")
+    monkeypatch.setenv("OCRS_TPU_FUSED_CONV", mode)
     (l_ch, up_ch), g_ch = jax.value_and_grad(f, has_aux=True)(variables["params"])
 
     np.testing.assert_allclose(float(l_ch), float(l_std), rtol=1e-4)
     flat_std = jax.tree_util.tree_leaves_with_path(g_std)
-    flat_ch = dict(jax.tree_util.tree_leaves_with_path(g_ch))
-    # tree_leaves_with_path returns list of (path, leaf); compare pairwise.
     flat_ch = {jax.tree_util.keystr(p): v for p, v in jax.tree_util.tree_leaves_with_path(g_ch)}
     for path, leaf in flat_std:
         key = jax.tree_util.keystr(path)

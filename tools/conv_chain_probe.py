@@ -57,11 +57,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bwd", action="store_true", help="also probe grads")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", type=str, default="", help="comma-set of geometry names")
+    ap.add_argument("--no-ref", action="store_true", help="skip XLA reference timing")
     args = ap.parse_args()
 
     print(f"backend={jax.default_backend()}")
     rng = np.random.default_rng(0)
+    only = set(args.only.split(",")) if args.only else None
     for name, c, o, h, w in GEOMETRIES:
+        if only and name not in only:
+            continue
         ok = chain_shapes_supported(c, o, h, w)
         x = jnp.array(rng.normal(size=(N, c, h, w)).astype(np.float32)).astype(
             jnp.bfloat16
@@ -71,12 +76,15 @@ def main():
         wd = jnp.array(rng.normal(size=(c, 3, 3)).astype(np.float32) * 0.5)
         wp = jnp.array(rng.normal(size=(c, o)).astype(np.float32) * 0.5)
 
-        ref = jax.jit(lambda *a: conv_chain_reference(*a, True))
-        _, ref_ms = timed(ref, x, inv, bias, wd, wp, iters=args.iters)
+        if args.no_ref:
+            ref_ms = float("nan")
+        else:
+            ref = jax.jit(lambda *a: conv_chain_reference(*a, True))
+            _, ref_ms = timed(ref, x, inv, bias, wd, wp, iters=args.iters)
 
         line = f"{name:5s} C={c:3d} O={o:3d} {h}x{w} gate={'y' if ok else 'n'} xla={ref_ms:7.2f}ms"
         if not ok:
-            print(line + "  (kernel skipped by gate)")
+            print(line + "  (kernel skipped by gate)", flush=True)
             continue
         try:
             ker = jax.jit(lambda *a: conv_chain(*a, True, False))
@@ -95,7 +103,7 @@ def main():
             try:
                 g = jax.jit(jax.grad(loss_k, argnums=(0, 3, 4)))
                 comp_s, g_ms = timed(g, x, inv, bias, wd, wp, iters=args.iters)
-                print(f"      grad(kernel-fwd+xla-bwd)={g_ms:7.2f}ms (compile {comp_s:.1f}s)")
+                print(f"      grad(fused bwd)={g_ms:7.2f}ms (compile {comp_s:.1f}s)")
             except Exception as e:  # noqa: BLE001
                 print(f"      grad FAILED: {type(e).__name__}: {str(e)[:120]}")
 

@@ -23,11 +23,19 @@ touched exactly twice (one write, one read).
 The depthwise+pointwise pair runs on the MXU as nine small contractions
 with pre-folded weights ``wq[k][o, c] = wd[c, k] * wp[c, o]`` — exact
 because ``pw(dw(x))`` is linear: ``y[o] = sum_{c,k} wd[c,k] wp[c,o]
-a_k[c]``. This kills the VPU-bound tap math that made the elementwise
-formulation (conv_block.py) lose in the full model.
+a_k[c]``. This kills the VPU-bound tap math that made the round-1
+elementwise kernel formulation lose in the full model.
 
-Row-halo handling is the BlockSpec two-band trick from conv_block.py
-(this rig's Mosaic rejects manual halo DMA): the same padded input is
+The prologue is ALSO a matmul: per-channel elementwise broadcasts of the
+fold scalars crash this rig's Mosaic compiler in every tested layout
+(docs/det_perf.md), so the input carries an extra validity-mask channel
+(1 inside the image — zero-padding makes it 0 everywhere else) and the
+affine runs as ``z = [diag(inv) | bias] @ [x; mask]`` on the MXU:
+``inv*x + bias`` inside the image and exactly 0 outside, which restores
+the conv's zero-padding semantics with no in-kernel masking.
+
+Row-halo handling is a BlockSpec two-band trick (this rig's Mosaic
+rejects manual halo DMA): the same padded input is
 passed twice, a ``th``-row main band plus a ``_HB``-row halo band
 starting exactly at the band end, assembled into a ``(th+2)``-row window
 in VMEM scratch.
@@ -72,12 +80,12 @@ def fold_weights(wd: jnp.ndarray, wp: jnp.ndarray) -> jnp.ndarray:
 
 
 def _chain_kernel(
-    xm_ref, xh_ref, fold_ref, wq_ref, y_ref, s1_ref, s2_ref, win_s, s1_s, s2_s,
+    xm_ref, xh_ref, daug_ref, wq_ref, y_ref, s1_ref, s2_ref, win_s, s1_s, s2_s,
     *, th, w_out, h, w, bn_relu,
 ):
     win_s[:, 0:th, :] = xm_ref[0]
     win_s[:, th : th + _HB, :] = xh_ref[0]
-    win = win_s[...]  # [C, th+_HB, w_pad]
+    win = win_s[...]  # [C(+1), th+_HB, w_pad]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -87,19 +95,23 @@ def _chain_kernel(
         s2_s[...] = jnp.zeros_like(s2_s)
 
     if bn_relu:
-        # fold arrives as [2, C, 1, 1]: per-channel scalars on the outer
-        # dims. A [C]-on-lanes layout with a lane->outer broadcast crashes
-        # this rig's Mosaic compiler; scalar-per-2D-slice broadcast works.
-        inv = fold_ref[0].astype(win.dtype)
-        bias = fold_ref[1].astype(win.dtype)
-        a = jnp.maximum(win * inv + bias, 0)
-        # The affine shifts padding zeros to relu(bias) — mask back to the
-        # conv's zero-padding semantics. Window row r is original row
-        # j*th + r - 1 (xp carries one top pad row), col c is c - 1.
-        rows = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1) + j * th - 1
-        cols = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2) - 1
-        valid = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
-        a = jnp.where(valid, a, 0)
+        # Matmul prologue: per-channel elementwise broadcasts of the fold
+        # scalars crash this rig's Mosaic compiler in every layout, so the
+        # affine runs on the MXU instead. The input carries an extra
+        # validity-mask channel (1 inside the image, 0 in padding) and
+        # daug = [diag(inv) | bias] so that
+        #   z = daug @ [x; mask] = inv*x + bias inside, exactly 0 outside
+        # — which also restores the conv's zero-padding semantics with no
+        # in-kernel iota masking.
+        cc = win.shape[0]  # C + 1
+        win2 = win.reshape(cc, -1)
+        z = jax.lax.dot_general(
+            daug_ref[...].astype(win.dtype),
+            win2,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        a = jnp.maximum(z, 0).astype(win.dtype).reshape(-1, *win.shape[1:])
     else:
         # Padding in xp is already zero; rows beyond h / cols beyond w too.
         a = win
@@ -137,6 +149,22 @@ def _chain_kernel(
         s2_ref[...] = s2_s[...]
 
 
+def _augment(x):
+    """Append the validity-mask channel (1 inside the image; the later
+    zero-padding makes it 0 everywhere else)."""
+    n, c, h, w = x.shape
+    return jnp.concatenate([x, jnp.ones((n, 1, h, w), x.dtype)], axis=1)
+
+
+def _daug(inv, bias):
+    """``[diag(inv) | bias]``: the BN fold as a ``[C, C+1]`` matrix over
+    the mask-augmented channels."""
+    return jnp.concatenate(
+        [jnp.diag(inv.astype(jnp.float32)), bias.astype(jnp.float32)[:, None]],
+        axis=1,
+    )
+
+
 def _fwd_call(x, inv, bias, wd, wp, bn_relu, interpret):
     n, c, h, w = x.shape
     o = wp.shape[1]
@@ -145,10 +173,12 @@ def _fwd_call(x, inv, bias, wd, wp, bn_relu, interpret):
     h_tiled = n_tiles * th
     w_out = _round_up(w, 128)
     w_pad = _round_up(w_out + 2, 128)
+    xa = _augment(x) if bn_relu else x
+    ca = xa.shape[1]
     xp = jnp.pad(
-        x, ((0, 0), (0, 0), (1, h_tiled - h + _HB - 1), (1, w_pad - w - 1))
+        xa, ((0, 0), (0, 0), (1, h_tiled - h + _HB - 1), (1, w_pad - w - 1))
     )
-    fold = jnp.stack([inv, bias]).astype(jnp.float32)[:, :, None, None]
+    daug = _daug(inv, bias) if bn_relu else jnp.zeros((c, c + 1), jnp.float32)
     wq = fold_weights(wd, wp)
     y, s1, s2 = pl.pallas_call(
         functools.partial(
@@ -156,11 +186,11 @@ def _fwd_call(x, inv, bias, wd, wp, bn_relu, interpret):
         ),
         grid=(n, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, c, th, w_pad), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, ca, th, w_pad), lambda i, j: (i, 0, j, 0)),
             pl.BlockSpec(
-                (1, c, _HB, w_pad), lambda i, j: (i, 0, (j + 1) * (th // _HB), 0)
+                (1, ca, _HB, w_pad), lambda i, j: (i, 0, (j + 1) * (th // _HB), 0)
             ),
-            pl.BlockSpec((2, c, 1, 1), lambda i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((c, c + 1), lambda i, j: (0, 0)),
             pl.BlockSpec((9, o, c), lambda i, j: (0, 0, 0)),
         ],
         out_specs=[
@@ -174,12 +204,12 @@ def _fwd_call(x, inv, bias, wd, wp, bn_relu, interpret):
             jax.ShapeDtypeStruct((1, o), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, th + _HB, w_pad), x.dtype),
+            pltpu.VMEM((ca, th + _HB, w_pad), x.dtype),
             pltpu.VMEM((1, o), jnp.float32),
             pltpu.VMEM((1, o), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, xp, fold, wq)
+    )(xp, xp, daug, wq)
     return y[:, :, :h, :w], s1[0], s2[0]
 
 
@@ -226,7 +256,7 @@ def conv_chain(x, inv, bias, wd, wp, bn_relu=True, interpret=False):
 
 
 def _bwd_kernel(
-    xm_ref, xh_ref, gm_ref, gh_ref, fold_ref, wq_ref,
+    xm_ref, xh_ref, gm_ref, gh_ref, daug_ref, wq_ref,
     dx_ref, dwq_ref, dinv_ref, dbias_ref,
     xwin_s, gwin_s, dwq_s, dinv_s, dbias_s,
     *, th, w_out, h, w, bn_relu,
@@ -259,22 +289,26 @@ def _bwd_kernel(
     xwin_s[:, th : th + _HB, :] = xh_ref[0]
     gwin_s[:, 0:th, :] = gm_ref[0]
     gwin_s[:, th : th + _HB, :] = gh_ref[0]
-    xwin = xwin_s[...]  # [C, th+_HB, w_pad]
+    xwin = xwin_s[...]  # [C(+1), th+_HB, w_pad]
     gwin = gwin_s[...]  # [O, th+_HB, w_pad]; zero outside the valid image
 
-    if bn_relu:
-        inv = fold_ref[0].astype(xwin.dtype)  # [C, 1, 1]
-        bias = fold_ref[1].astype(xwin.dtype)
-        z = xwin * inv + bias
-        rows = jax.lax.broadcasted_iota(jnp.int32, xwin.shape, 1) + j * th - 1
-        cols = jax.lax.broadcasted_iota(jnp.int32, xwin.shape, 2) - 1
-        valid = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
-        a = jnp.where(valid, jnp.maximum(z, 0), 0)
-    else:
-        a = xwin
-
-    c = xwin.shape[0]
     o = gwin.shape[0]
+    if bn_relu:
+        # Matmul prologue over the mask-augmented channels (see
+        # _chain_kernel): z is inv*x + bias inside the image, exactly 0
+        # outside; the strict relu gate therefore also zeroes padding.
+        c = xwin.shape[0] - 1
+        z = jax.lax.dot_general(
+            daug_ref[...].astype(xwin.dtype),
+            xwin.reshape(c + 1, -1),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C, (th+_HB)*w_pad] f32
+        z3 = z.reshape(c, *xwin.shape[1:])
+        a = jnp.maximum(z3, 0).astype(xwin.dtype)
+    else:
+        c = xwin.shape[0]
+        a = xwin
 
     # da = transposed stencil of dyt through the folded weights.
     da = None  # [C, th * w_out] f32
@@ -303,14 +337,18 @@ def _bwd_kernel(
 
     da3 = da.reshape(c, th, w_out)
     if bn_relu:
-        gate = (z[:, 1 : 1 + th, 1 : 1 + w_out] > 0) & valid[
-            :, 1 : 1 + th, 1 : 1 + w_out
-        ]
+        gate = z3[:, 1 : 1 + th, 1 : 1 + w_out] > 0
         dz = jnp.where(gate, da3, 0)
-        x_band = xwin[:, 1 : 1 + th, 1 : 1 + w_out].astype(jnp.float32)
+        x_band = xwin[:c, 1 : 1 + th, 1 : 1 + w_out].astype(jnp.float32)
         dinv_s[...] += jnp.sum(dz * x_band, axis=(1, 2))[None, :]
         dbias_s[...] += jnp.sum(dz, axis=(1, 2))[None, :]
-        dx = dz * fold_ref[0]
+        # dx = inv * dz, again on the MXU (daug[:, :C] is diag(inv)).
+        dx = jax.lax.dot_general(
+            daug_ref[:, 0:c].astype(dz.dtype),
+            dz.reshape(c, th * w_out),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(c, th, w_out)
     else:
         dx = da3
     dx_ref[0] = dx.astype(dx_ref.dtype)
@@ -333,9 +371,11 @@ def _bwd_call(x, dyt, inv, bias, wd, wp, bn_relu, interpret):
     w_out = _round_up(w, 128)
     w_pad = _round_up(w_out + 2, 128)
     pad = ((0, 0), (0, 0), (1, h_tiled - h + _HB - 1), (1, w_pad - w - 1))
-    xp = jnp.pad(x, pad)
+    xa = _augment(x) if bn_relu else x
+    ca = xa.shape[1]
+    xp = jnp.pad(xa, pad)
     gp = jnp.pad(dyt, pad)
-    fold = jnp.stack([inv, bias]).astype(jnp.float32)[:, :, None, None]
+    daug = _daug(inv, bias) if bn_relu else jnp.zeros((c, c + 1), jnp.float32)
     wq = fold_weights(wd, wp)
     dx, dwq, dinv, dbias = pl.pallas_call(
         functools.partial(
@@ -343,15 +383,15 @@ def _bwd_call(x, dyt, inv, bias, wd, wp, bn_relu, interpret):
         ),
         grid=(n, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, c, th, w_pad), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, ca, th, w_pad), lambda i, j: (i, 0, j, 0)),
             pl.BlockSpec(
-                (1, c, _HB, w_pad), lambda i, j: (i, 0, (j + 1) * (th // _HB), 0)
+                (1, ca, _HB, w_pad), lambda i, j: (i, 0, (j + 1) * (th // _HB), 0)
             ),
             pl.BlockSpec((1, o, th, w_pad), lambda i, j: (i, 0, j, 0)),
             pl.BlockSpec(
                 (1, o, _HB, w_pad), lambda i, j: (i, 0, (j + 1) * (th // _HB), 0)
             ),
-            pl.BlockSpec((2, c, 1, 1), lambda i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((c, c + 1), lambda i, j: (0, 0)),
             pl.BlockSpec((9, o, c), lambda i, j: (0, 0, 0)),
         ],
         out_specs=[
@@ -367,14 +407,14 @@ def _bwd_call(x, dyt, inv, bias, wd, wp, bn_relu, interpret):
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, th + _HB, w_pad), x.dtype),
+            pltpu.VMEM((ca, th + _HB, w_pad), x.dtype),
             pltpu.VMEM((o, th + _HB, w_pad), x.dtype),
             pltpu.VMEM((9, o, c), jnp.float32),
             pltpu.VMEM((1, c), jnp.float32),
             pltpu.VMEM((1, c), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, xp, gp, gp, fold, wq)
+    )(xp, xp, gp, gp, daug, wq)
     return dx[:, :, :h, :w], dwq, dinv[0], dbias[0]
 
 
@@ -416,14 +456,17 @@ conv_chain.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def chain_shapes_supported(c: int, o: int, h: int, w: int, itemsize: int = 2) -> bool:
-    """VMEM gate for the chain kernel at one block geometry."""
+    """VMEM gate for the chain kernel at one block geometry (sized for the
+    bn_relu variant: mask-augmented window plus the f32 prologue values)."""
     th = _tile_rows(h)
     w_out = _round_up(w, 128)
     w_pad = _round_up(w_out + 2, 128)
-    win = c * (th + _HB) * w_pad * itemsize
-    in_blocks = 2 * c * (th + _HB) * w_pad * itemsize  # main+halo, dbl-buffered
+    ca = c + 1  # mask-augmented channel count
+    win = ca * (th + _HB) * w_pad * itemsize
+    in_blocks = 2 * ca * (th + _HB) * w_pad * itemsize  # main+halo, dbl-buffered
+    prologue = c * (th + _HB) * w_pad * (4 + itemsize)  # z (f32) + a
     acc = o * th * w_out * 4
     tap = c * th * w_out * itemsize  # transient tap slice
     out = 2 * o * th * w_out * itemsize
     wq = 9 * o * c * 4
-    return win + in_blocks + acc + tap + out + wq < 10 * 1024 * 1024
+    return win + in_blocks + prologue + acc + tap + out + wq < 10 * 1024 * 1024

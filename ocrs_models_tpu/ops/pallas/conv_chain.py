@@ -335,23 +335,32 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    da3 = da.reshape(c, th, w_out)
     if bn_relu:
+        # Mosaic construct notes (bisected on the rig): the relu gate must
+        # be applied as a 3D `where` (reshaping the i1 gate crashes the
+        # compiler), while the fold-grad reductions must run 2D with
+        # lane-axis sums (3D reductions to the outer dim also crash; the
+        # 2D form is what the forward's stat sums already proved out).
         gate = z3[:, 1 : 1 + th, 1 : 1 + w_out] > 0
-        dz = jnp.where(gate, da3, 0)
-        x_band = xwin[:c, 1 : 1 + th, 1 : 1 + w_out].astype(jnp.float32)
-        dinv_s[...] += jnp.sum(dz * x_band, axis=(1, 2))[None, :]
-        dbias_s[...] += jnp.sum(dz, axis=(1, 2))[None, :]
+        dz3 = jnp.where(gate, da.reshape(c, th, w_out), 0)
+        dz = dz3.reshape(c, th * w_out)
+        x_band = (
+            xwin[:c, 1 : 1 + th, 1 : 1 + w_out]
+            .reshape(c, th * w_out)
+            .astype(jnp.float32)
+        )
+        dinv_s[...] += jnp.sum(dz * x_band, axis=1)[None, :]
+        dbias_s[...] += jnp.sum(dz, axis=1)[None, :]
         # dx = inv * dz, again on the MXU (daug[:, :C] is diag(inv)).
         dx = jax.lax.dot_general(
             daug_ref[:, 0:c].astype(dz.dtype),
-            dz.reshape(c, th * w_out),
+            dz,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(c, th, w_out)
+        )
     else:
-        dx = da3
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+        dx = da
+    dx_ref[0] = dx.reshape(c, th, w_out).astype(dx_ref.dtype)
 
     @pl.when(
         jnp.logical_and(i == pl.num_programs(0) - 1, j == pl.num_programs(1) - 1)

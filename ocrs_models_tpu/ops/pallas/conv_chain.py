@@ -344,10 +344,12 @@ def _bwd_kernel(
         gate = z3[:, 1 : 1 + th, 1 : 1 + w_out] > 0
         dz3 = jnp.where(gate, da.reshape(c, th, w_out), 0)
         dz = dz3.reshape(c, th * w_out)
+        # Convert BEFORE the reshape: convert-after-slice-reshape lowers
+        # to a type-mismatched vector.broadcast (Mosaic verifier bug).
         x_band = (
             xwin[:c, 1 : 1 + th, 1 : 1 + w_out]
-            .reshape(c, th * w_out)
             .astype(jnp.float32)
+            .reshape(c, th * w_out)
         )
         dinv_s[...] += jnp.sum(dz * x_band, axis=1)[None, :]
         dbias_s[...] += jnp.sum(dz, axis=1)[None, :]

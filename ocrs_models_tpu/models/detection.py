@@ -259,7 +259,11 @@ class DoubleConv(nn.Module):
         conv1 = DepthwiseConv(
             self.features, self.dtype, self.channels_first, name="conv1"
         )
-        if self.channels_first and _fused_chain_mode() is not None:
+        # Chain only the train step: eval-mode BN folds from running stats
+        # and XLA already fuses it well (measured: untuned chain eval fwd
+        # 69 ms vs 35 ms XLA at batch 8) — the chain's structural win is
+        # eliminating the train-time batch-stat passes.
+        if self.channels_first and train and _fused_chain_mode() is not None:
             from ..ops.pallas.conv_chain import chain_shapes_supported
 
             n, c, h, w = x.shape

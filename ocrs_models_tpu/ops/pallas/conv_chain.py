@@ -469,6 +469,12 @@ conv_chain.defvjp(_vjp_fwd, _vjp_bwd)
 def chain_shapes_supported(c: int, o: int, h: int, w: int, itemsize: int = 2) -> bool:
     """VMEM gate for the chain kernel at one block geometry (sized for the
     bn_relu variant: mask-augmented window plus the f32 prologue values)."""
+    if c < 8:
+        # C=1 (the image-input block) makes the weight-grad contraction a
+        # degenerate [O, C=1] matvec whose Mosaic lowering hits the same
+        # type-mismatched vector.broadcast bug at wide geometries; the
+        # standard XLA path is cheap there anyway.
+        return False
     th = _tile_rows(h)
     w_out = _round_up(w, 128)
     w_pad = _round_up(w_out + 2, 128)

@@ -36,10 +36,11 @@ def _loss_fn(model, variables, x):
 
 @pytest.mark.parametrize("mode", ["interp", "interp-xf"])
 def test_chain_forward_matches_standard(setup, monkeypatch, mode):
+    # train=True: the chain is gated to the train step (eval keeps XLA).
     model, variables, x = setup
-    y_std = model.apply(variables, x, train=False)
+    y_std, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
     monkeypatch.setenv("OCRS_TPU_FUSED_CONV", mode)
-    y_chain = model.apply(variables, x, train=False)
+    y_chain, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
     np.testing.assert_allclose(
         np.asarray(y_chain), np.asarray(y_std), rtol=1e-4, atol=1e-4
     )

@@ -165,9 +165,9 @@ def _daug(inv, bias):
     )
 
 
-def _fwd_call(x, inv, bias, wd, wp, bn_relu, interpret):
+def _fwd_call(x, inv, bias, wq, bn_relu, interpret):
     n, c, h, w = x.shape
-    o = wp.shape[1]
+    o = wq.shape[1]
     th = _tile_rows(h)
     n_tiles = -(-h // th)
     h_tiled = n_tiles * th
@@ -179,7 +179,6 @@ def _fwd_call(x, inv, bias, wd, wp, bn_relu, interpret):
         xa, ((0, 0), (0, 0), (1, h_tiled - h + _HB - 1), (1, w_pad - w - 1))
     )
     daug = _daug(inv, bias) if bn_relu else jnp.zeros((c, c + 1), jnp.float32)
-    wq = fold_weights(wd, wp)
     y, s1, s2 = pl.pallas_call(
         functools.partial(
             _chain_kernel, th=th, w_out=w_out, h=h, w=w, bn_relu=bn_relu
@@ -213,9 +212,9 @@ def _fwd_call(x, inv, bias, wd, wp, bn_relu, interpret):
     return y[:, :, :h, :w], s1[0], s2[0]
 
 
-def conv_chain_reference(x, inv, bias, wd, wp, bn_relu):
+def conv_chain_wq_reference(x, inv, bias, wq, bn_relu):
     """Pure-JAX oracle with the kernel's dtype policy: prologue in the
-    activation dtype, taps via folded bf16-ready weights, f32 accumulation.
+    activation dtype, taps in x.dtype with f32 accumulation.
     Returns (y in x.dtype, s1 [O] f32, s2 [O] f32)."""
     n, c, h, w = x.shape
     if bn_relu:
@@ -227,7 +226,7 @@ def conv_chain_reference(x, inv, bias, wd, wp, bn_relu):
     else:
         a = x
     ap = jnp.pad(a, ((0, 0), (0, 0), (1, 1), (1, 1)))
-    wq = fold_weights(wd, wp).astype(x.dtype)  # [9, O, C]
+    wq = wq.astype(x.dtype)  # [9, O, C]
     acc = None
     for k, (dy, dx) in enumerate(_TAPS):
         tap = ap[:, :, dy : dy + h, dx : dx + w]
@@ -240,19 +239,34 @@ def conv_chain_reference(x, inv, bias, wd, wp, bn_relu):
     return acc.astype(x.dtype), s1, s2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def conv_chain(x, inv, bias, wd, wp, bn_relu=True, interpret=False):
-    """One fused DepthwiseConv block pass (split-BN protocol).
+def conv_chain_reference(x, inv, bias, wd, wp, bn_relu):
+    """Depthwise-separable oracle (wq folded from wd/wp)."""
+    return conv_chain_wq_reference(x, inv, bias, fold_weights(wd, wp), bn_relu)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv_chain_wq(x, inv, bias, wq, bn_relu=True, interpret=False):
+    """One fused conv-block pass (split-BN protocol) over per-tap weights.
+
+    ``wq[k][o, c]`` is the 3x3 conv expressed as nine rank-C
+    contractions — an arbitrary dense 3x3 conv (``wq[k] = W[ky, kx].T``)
+    or a folded depthwise-separable pair (:func:`fold_weights`; see
+    :func:`conv_chain`).
 
     :param x: ``[N, C, H, W]`` — the previous block's *pre-BN* output (or
         an already-activated / raw tensor when ``bn_relu=False``).
     :param inv: ``[C]`` f32 fold scale (ignored when ``bn_relu=False``).
     :param bias: ``[C]`` f32 fold shift (ignored when ``bn_relu=False``).
-    :param wd: ``[C, 3, 3]`` depthwise taps; :param wp: ``[C, O]``.
     :return: ``(y_pre [N, O, H, W] in x.dtype, s1 [O] f32, s2 [O] f32)``
         where s1/s2 are sums of y_pre and y_pre**2 over (N, H, W).
     """
-    return _fwd_call(x, inv, bias, wd, wp, bn_relu, interpret)
+    return _fwd_call(x, inv, bias, wq, bn_relu, interpret)
+
+
+def conv_chain(x, inv, bias, wd, wp, bn_relu=True, interpret=False):
+    """Fused DepthwiseConv block pass: ``conv_chain_wq`` over the folded
+    weights; wd/wp grads flow through :func:`fold_weights` by autodiff."""
+    return conv_chain_wq(x, inv, bias, fold_weights(wd, wp), bn_relu, interpret)
 
 
 def _bwd_kernel(
@@ -373,9 +387,9 @@ def _bwd_kernel(
         dbias_ref[...] = dbias_s[...]
 
 
-def _bwd_call(x, dyt, inv, bias, wd, wp, bn_relu, interpret):
+def _bwd_call(x, dyt, inv, bias, wq, bn_relu, interpret):
     n, c, h, w = x.shape
-    o = wp.shape[1]
+    o = wq.shape[1]
     th = _tile_rows(h)
     n_tiles = -(-h // th)
     h_tiled = n_tiles * th
@@ -387,7 +401,6 @@ def _bwd_call(x, dyt, inv, bias, wd, wp, bn_relu, interpret):
     xp = jnp.pad(xa, pad)
     gp = jnp.pad(dyt, pad)
     daug = _daug(inv, bias) if bn_relu else jnp.zeros((c, c + 1), jnp.float32)
-    wq = fold_weights(wd, wp)
     dx, dwq, dinv, dbias = pl.pallas_call(
         functools.partial(
             _bwd_kernel, th=th, w_out=w_out, h=h, w=w, bn_relu=bn_relu
@@ -429,13 +442,13 @@ def _bwd_call(x, dyt, inv, bias, wd, wp, bn_relu, interpret):
     return dx[:, :, :h, :w], dwq, dinv[0], dbias[0]
 
 
-def _vjp_fwd(x, inv, bias, wd, wp, bn_relu, interpret):
-    y, s1, s2 = _fwd_call(x, inv, bias, wd, wp, bn_relu, interpret)
-    return (y, s1, s2), (x, y, inv, bias, wd, wp)
+def _vjp_fwd(bn_relu, interpret, x, inv, bias, wq):
+    y, s1, s2 = _fwd_call(x, inv, bias, wq, bn_relu, interpret)
+    return (y, s1, s2), (x, y, inv, bias, wq)
 
 
 def _vjp_bwd(bn_relu, interpret, res, cot):
-    x, y, inv, bias, wd, wp = res
+    x, y, inv, bias, wq = res
     dy, ds1, ds2 = cot
     # Total cotangent on the pre-BN output, folding the moment outputs'
     # grads in one XLA elementwise pass (zero outside the image by
@@ -445,12 +458,7 @@ def _vjp_bwd(bn_relu, interpret, res, cot):
         + ds1[None, :, None, None]
         + 2.0 * y.astype(jnp.float32) * ds2[None, :, None, None]
     ).astype(x.dtype)
-    dx, dwq, dinv, dbias = _bwd_call(x, dyt, inv, bias, wd, wp, bn_relu, interpret)
-    c = wd.shape[0]
-    dwd = jnp.einsum("koc,co->ck", dwq, wp.astype(jnp.float32)).reshape(c, 3, 3)
-    dwp = jnp.einsum(
-        "koc,ck->co", dwq, wd.reshape(c, 9).astype(jnp.float32)
-    )
+    dx, dwq, dinv, dbias = _bwd_call(x, dyt, inv, bias, wq, bn_relu, interpret)
     if not bn_relu:
         dinv = jnp.zeros_like(inv)
         dbias = jnp.zeros_like(bias)
@@ -458,12 +466,16 @@ def _vjp_bwd(bn_relu, interpret, res, cot):
         dx,
         dinv.astype(inv.dtype),
         dbias.astype(bias.dtype),
-        dwd.astype(wd.dtype),
-        dwp.astype(wp.dtype),
+        dwq.astype(wq.dtype),
     )
 
 
-conv_chain.defvjp(_vjp_fwd, _vjp_bwd)
+conv_chain_wq.defvjp(
+    lambda x, inv, bias, wq, bn_relu, interpret: _vjp_fwd(
+        bn_relu, interpret, x, inv, bias, wq
+    ),
+    _vjp_bwd,
+)
 
 
 def chain_shapes_supported(c: int, o: int, h: int, w: int, itemsize: int = 2) -> bool:

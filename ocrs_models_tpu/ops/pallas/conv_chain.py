@@ -66,8 +66,36 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-def _tile_rows(h: int) -> int:
-    return min(_round_up(h, _HB), _MAX_TH)
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _vmem_estimate(c: int, o: int, h: int, w: int, th: int, itemsize: int) -> int:
+    """Scoped-VMEM estimate for the *backward* kernel (the larger of the
+    pair): both windows, double-buffered in blocks, the f32 prologue and
+    grad intermediates, and the dx out blocks."""
+    w_out = _round_up(w, 128)
+    w_pad = _round_up(w_out + 2, 128)
+    ca = c + 1
+    rows = th + _HB
+    win = (ca + o) * rows * w_pad * itemsize
+    in_blocks = 2 * (ca + o) * rows * w_pad * itemsize
+    z = c * rows * w_pad * 4
+    a = c * rows * w_pad * itemsize
+    grads = 2 * c * th * w_out * 4  # da + dz (f32)
+    out = 2 * c * th * w_out * itemsize
+    return win + in_blocks + z + a + grads + out
+
+
+def _pick_th(c: int, o: int, h: int, w: int, itemsize: int = 2) -> int | None:
+    """Largest row-band height (multiple of _HB, <= _MAX_TH) whose
+    backward fits the VMEM budget; None if even th=_HB does not."""
+    for th in range(_MAX_TH, 0, -_HB):
+        th_eff = min(_round_up(h, _HB), th)
+        if _vmem_estimate(c, o, h, w, th_eff, itemsize) < _VMEM_BUDGET:
+            return th_eff
+        if th_eff < th:
+            break
+    return None
 
 
 def fold_weights(wd: jnp.ndarray, wp: jnp.ndarray) -> jnp.ndarray:
@@ -168,7 +196,7 @@ def _daug(inv, bias):
 def _fwd_call(x, inv, bias, wq, bn_relu, interpret):
     n, c, h, w = x.shape
     o = wq.shape[1]
-    th = _tile_rows(h)
+    th = _pick_th(c, o, h, w, jnp.dtype(x.dtype).itemsize)
     n_tiles = -(-h // th)
     h_tiled = n_tiles * th
     w_out = _round_up(w, 128)
@@ -390,7 +418,7 @@ def _bwd_kernel(
 def _bwd_call(x, dyt, inv, bias, wq, bn_relu, interpret):
     n, c, h, w = x.shape
     o = wq.shape[1]
-    th = _tile_rows(h)
+    th = _pick_th(c, o, h, w, jnp.dtype(x.dtype).itemsize)
     n_tiles = -(-h // th)
     h_tiled = n_tiles * th
     w_out = _round_up(w, 128)
@@ -479,23 +507,11 @@ conv_chain_wq.defvjp(
 
 
 def chain_shapes_supported(c: int, o: int, h: int, w: int, itemsize: int = 2) -> bool:
-    """VMEM gate for the chain kernel at one block geometry (sized for the
-    bn_relu variant: mask-augmented window plus the f32 prologue values)."""
+    """Geometry gate for the chain kernel pair."""
     if c < 8:
         # C=1 (the image-input block) makes the weight-grad contraction a
-        # degenerate [O, C=1] matvec whose Mosaic lowering hits the same
+        # degenerate [O, C=1] matvec whose Mosaic lowering hits a
         # type-mismatched vector.broadcast bug at wide geometries; the
         # standard XLA path is cheap there anyway.
         return False
-    th = _tile_rows(h)
-    w_out = _round_up(w, 128)
-    w_pad = _round_up(w_out + 2, 128)
-    ca = c + 1  # mask-augmented channel count
-    win = ca * (th + _HB) * w_pad * itemsize
-    in_blocks = 2 * ca * (th + _HB) * w_pad * itemsize  # main+halo, dbl-buffered
-    prologue = c * (th + _HB) * w_pad * (4 + itemsize)  # z (f32) + a
-    acc = o * th * w_out * 4
-    tap = c * th * w_out * itemsize  # transient tap slice
-    out = 2 * o * th * w_out * itemsize
-    wq = 9 * o * c * 4
-    return win + in_blocks + prologue + acc + tap + out + wq < 10 * 1024 * 1024
+    return _pick_th(c, o, h, w, itemsize) is not None

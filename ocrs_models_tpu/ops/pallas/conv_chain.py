@@ -66,24 +66,26 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+# Mosaic's scoped-vmem stack limit is 16 MB; the budget carries margin
+# for lowering transients the estimate cannot see (calibrated against
+# measured overflows on this rig's compile helper).
 _VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _vmem_estimate(c: int, o: int, h: int, w: int, th: int, itemsize: int) -> int:
     """Scoped-VMEM estimate for the *backward* kernel (the larger of the
-    pair): both windows, double-buffered in blocks, the f32 prologue and
-    grad intermediates, and the dx out blocks."""
+    pair): x/dyt/activation window scratches, double-buffered in blocks,
+    the transient f32 prologue, grad intermediates, and dx out blocks."""
     w_out = _round_up(w, 128)
     w_pad = _round_up(w_out + 2, 128)
     ca = c + 1
     rows = th + _HB
-    win = (ca + o) * rows * w_pad * itemsize
+    wins = (ca + o + c) * rows * w_pad * itemsize
     in_blocks = 2 * (ca + o) * rows * w_pad * itemsize
-    z = c * rows * w_pad * 4
-    a = c * rows * w_pad * itemsize
-    grads = 2 * c * th * w_out * 4  # da + dz (f32)
+    z = c * rows * w_pad * 4  # transient prologue dot result
+    grads = 3 * c * th * w_out * 4  # da + dz + x_band (f32)
     out = 2 * c * th * w_out * itemsize
-    return win + in_blocks + z + a + grads + out
+    return wins + in_blocks + z + grads + out
 
 
 def _pick_th(c: int, o: int, h: int, w: int, itemsize: int = 2) -> int | None:
@@ -139,7 +141,13 @@ def _chain_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        a = jnp.maximum(z, 0).astype(win.dtype).reshape(-1, *win.shape[1:])
+        # Store the activations back into the (now dead) window scratch
+        # instead of a second buffer — scoped VMEM is the binding
+        # constraint at the big geometries.
+        win_s[0 : cc - 1, :, :] = (
+            jnp.maximum(z, 0).astype(win.dtype).reshape(-1, *win.shape[1:])
+        )
+        a = win_s[0 : cc - 1, :, :]
     else:
         # Padding in xp is already zero; rows beyond h / cols beyond w too.
         a = win
@@ -300,7 +308,7 @@ def conv_chain(x, inv, bias, wd, wp, bn_relu=True, interpret=False):
 def _bwd_kernel(
     xm_ref, xh_ref, gm_ref, gh_ref, daug_ref, wq_ref,
     dx_ref, dwq_ref, dinv_ref, dbias_ref,
-    xwin_s, gwin_s, dwq_s, dinv_s, dbias_s,
+    xwin_s, gwin_s, a_s, dwq_s, dinv_s, dbias_s,
     *, th, w_out, h, w, bn_relu,
 ):
     """Fused backward: one HBM pass per row band.
@@ -339,6 +347,9 @@ def _bwd_kernel(
         # Matmul prologue over the mask-augmented channels (see
         # _chain_kernel): z is inv*x + bias inside the image, exactly 0
         # outside; the strict relu gate therefore also zeroes padding.
+        # Activations land in their own scratch so the f32 z is never
+        # retained (scoped VMEM is the binding constraint), and the gate
+        # below uses a > 0 — identical to z > 0 through the relu.
         c = xwin.shape[0] - 1
         z = jax.lax.dot_general(
             daug_ref[...].astype(xwin.dtype),
@@ -346,8 +357,10 @@ def _bwd_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [C, (th+_HB)*w_pad] f32
-        z3 = z.reshape(c, *xwin.shape[1:])
-        a = jnp.maximum(z3, 0).astype(xwin.dtype)
+        a_s[...] = jnp.maximum(z, 0).astype(xwin.dtype).reshape(
+            c, *xwin.shape[1:]
+        )
+        a = a_s[...]
     else:
         c = xwin.shape[0]
         a = xwin
@@ -383,7 +396,7 @@ def _bwd_kernel(
         # compiler), while the fold-grad reductions must run 2D with
         # lane-axis sums (3D reductions to the outer dim also crash; the
         # 2D form is what the forward's stat sums already proved out).
-        gate = z3[:, 1 : 1 + th, 1 : 1 + w_out] > 0
+        gate = a[:, 1 : 1 + th, 1 : 1 + w_out] > 0
         dz3 = jnp.where(gate, da.reshape(c, th, w_out), 0)
         dz = dz3.reshape(c, th * w_out)
         # Convert BEFORE the reshape: convert-after-slice-reshape lowers
@@ -461,6 +474,7 @@ def _bwd_call(x, dyt, inv, bias, wq, bn_relu, interpret):
         scratch_shapes=[
             pltpu.VMEM((ca, th + _HB, w_pad), x.dtype),
             pltpu.VMEM((o, th + _HB, w_pad), x.dtype),
+            pltpu.VMEM((c, th + _HB, w_pad), x.dtype),
             pltpu.VMEM((9, o, c), jnp.float32),
             pltpu.VMEM((1, c), jnp.float32),
             pltpu.VMEM((1, c), jnp.float32),

@@ -66,10 +66,13 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-# Mosaic's scoped-vmem stack limit is 16 MB; the budget carries margin
-# for lowering transients the estimate cannot see (calibrated against
-# measured overflows on this rig's compile helper).
-_VMEM_BUDGET = 14 * 1024 * 1024
+# Per-kernel scoped-vmem cap, raised from Mosaic's 16 MB default (v5e has
+# 128 MB of VMEM; 32 MB leaves ample room for the runtime's own buffers).
+_SCOPED_VMEM_LIMIT = 32 * 1024 * 1024
+# Geometry budget against that cap, with margin for lowering transients
+# the estimate cannot see (measured: real allocation runs up to ~1.4x the
+# estimate on this rig's compile helper).
+_VMEM_BUDGET = 22 * 1024 * 1024
 
 
 def _vmem_estimate(c: int, o: int, h: int, w: int, th: int, itemsize: int) -> int:
@@ -243,6 +246,9 @@ def _fwd_call(x, inv, bias, wq, bn_relu, interpret):
             pltpu.VMEM((1, o), jnp.float32),
             pltpu.VMEM((1, o), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(xp, xp, daug, wq)
     return y[:, :, :h, :w], s1[0], s2[0]
@@ -396,7 +402,10 @@ def _bwd_kernel(
         # compiler), while the fold-grad reductions must run 2D with
         # lane-axis sums (3D reductions to the outer dim also crash; the
         # 2D form is what the forward's stat sums already proved out).
-        gate = a[:, 1 : 1 + th, 1 : 1 + w_out] > 0
+        # f32 compare: the VPU has no bf16 comparison ("Target does not
+        # support this comparison") — likely also why every bf16
+        # elementwise-affine prologue variant crashed the helper.
+        gate = a[:, 1 : 1 + th, 1 : 1 + w_out].astype(jnp.float32) > 0
         dz3 = jnp.where(gate, da.reshape(c, th, w_out), 0)
         dz = dz3.reshape(c, th * w_out)
         # Convert BEFORE the reshape: convert-after-slice-reshape lowers
@@ -479,6 +488,9 @@ def _bwd_call(x, dyt, inv, bias, wq, bn_relu, interpret):
             pltpu.VMEM((1, c), jnp.float32),
             pltpu.VMEM((1, c), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(xp, xp, gp, gp, daug, wq)
     return dx[:, :, :h, :w], dwq, dinv[0], dbias[0]

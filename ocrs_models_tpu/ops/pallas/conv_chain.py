@@ -57,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _HB = 16  # halo band rows; also the row-band quantum (bf16 sublane tile x2)
-_MAX_TH = 32  # larger row bands crash this rig's Mosaic at C>=16
+_MAX_TH = 64  # VMEM-gated per geometry (_pick_th); v2 halo is 2*_HB rows
 
 _TAPS = tuple((dy, dx) for dy in range(3) for dx in range(3))
 
@@ -77,15 +77,15 @@ _VMEM_BUDGET = 22 * 1024 * 1024
 
 def _vmem_estimate(c: int, o: int, h: int, w: int, th: int, itemsize: int) -> int:
     """Scoped-VMEM estimate for the *backward* kernel (the larger of the
-    pair): x/dyt/activation window scratches, double-buffered in blocks,
+    pair): x/dyt/activation window scratches, double-buffered row blocks,
     the transient f32 prologue, grad intermediates, and dx out blocks."""
     w_out = _round_up(w, 128)
-    w_pad = _round_up(w_out + 2, 128)
+    w_in = _round_up(w_out + 2, 128)
     ca = c + 1
-    rows = th + _HB
-    wins = (ca + o + c) * rows * w_pad * itemsize
-    in_blocks = 2 * (ca + o) * rows * w_pad * itemsize
-    z = c * rows * w_pad * 4  # transient prologue dot result
+    rows = th + 2 * _HB
+    wins = (ca + o + c) * rows * w_in * itemsize
+    in_blocks = 2 * (c + o) * rows * w_out * itemsize
+    z = c * rows * w_in * 4  # transient prologue dot result
     grads = 3 * c * th * w_out * 4  # da + dz + x_band (f32)
     out = 2 * c * th * w_out * itemsize
     return wins + in_blocks + z + grads + out
@@ -113,51 +113,68 @@ def fold_weights(wd: jnp.ndarray, wp: jnp.ndarray) -> jnp.ndarray:
 
 
 def _chain_kernel(
-    xm_ref, xh_ref, daug_ref, wq_ref, y_ref, s1_ref, s2_ref, win_s, s1_s, s2_s,
-    *, th, w_out, h, w, bn_relu,
+    xpv_ref, xm_ref, xnx_ref, daug_ref, wq_ref, y_ref, s1_ref, s2_ref,
+    win_s, s1_s, s2_s, *, th, w_out, h, w, bn_relu,
 ):
-    win_s[:, 0:th, :] = xm_ref[0]
-    win_s[:, th : th + _HB, :] = xh_ref[0]
-    win = win_s[...]  # [C(+1), th+_HB, w_pad]
+    """v2 band kernel: raw (unpadded) inputs via three clamped row blocks.
+
+    Window scratch layout: rows ``[prev _HB][main th][next _HB]`` so that
+    window row ``r`` holds original row ``j*th - _HB + r``; columns carry
+    a +1 offset (data in ``[1, w+1)``) so the three tap columns slice
+    in-bounds. The whole scratch is zeroed once at the first grid step;
+    per-step stores only touch the data region, so the strips stay zero.
+    Clamped edge blocks and block overhang bring garbage rows — one
+    row-validity ``where`` over the window restores zero-padding
+    semantics (and the bn_relu mask channel is synthesized from the same
+    predicate, never materialized in HBM).
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(jnp.logical_and(i == 0, j == 0))
     def _():
+        win_s[...] = jnp.zeros_like(win_s)
         s1_s[...] = jnp.zeros_like(s1_s)
         s2_s[...] = jnp.zeros_like(s2_s)
 
+    c_in = xm_ref.shape[1]
+    win_s[0:c_in, 0:_HB, 1 : w + 1] = xpv_ref[0]
+    win_s[0:c_in, _HB : _HB + th, 1 : w + 1] = xm_ref[0]
+    win_s[0:c_in, _HB + th :, 1 : w + 1] = xnx_ref[0]
+
+    def masked(val):
+        # Full-shape 3D iota predicate — the construct the rig's Mosaic
+        # compiler accepts (sub-shape broadcasts are not reliable here).
+        rows_g = (
+            jax.lax.broadcasted_iota(jnp.int32, val.shape, 1) + j * th - _HB
+        )
+        return jnp.where((rows_g >= 0) & (rows_g < h), val, 0)
+
     if bn_relu:
-        # Matmul prologue: per-channel elementwise broadcasts of the fold
-        # scalars crash this rig's Mosaic compiler in every layout, so the
-        # affine runs on the MXU instead. The input carries an extra
-        # validity-mask channel (1 inside the image, 0 in padding) and
-        # daug = [diag(inv) | bias] so that
-        #   z = daug @ [x; mask] = inv*x + bias inside, exactly 0 outside
-        # — which also restores the conv's zero-padding semantics with no
-        # in-kernel iota masking.
-        cc = win.shape[0]  # C + 1
-        win2 = win.reshape(cc, -1)
+        # Synthesize the validity-mask channel in place (bias router for
+        # the matmul prologue; see _daug).
+        ones = jnp.ones((1, th + 2 * _HB, w), win_s.dtype)
+        win_s[c_in : c_in + 1, :, 1 : w + 1] = ones
+        win = masked(win_s[...])
+        cc = c_in + 1
         z = jax.lax.dot_general(
             daug_ref[...].astype(win.dtype),
-            win2,
+            win.reshape(cc, -1),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # Store the activations back into the (now dead) window scratch
-        # instead of a second buffer — scoped VMEM is the binding
-        # constraint at the big geometries.
-        win_s[0 : cc - 1, :, :] = (
-            jnp.maximum(z, 0).astype(win.dtype).reshape(-1, *win.shape[1:])
+        win_s[0:c_in, :, :] = (
+            jnp.maximum(z, 0).astype(win.dtype).reshape(c_in, *win.shape[1:])
         )
-        a = win_s[0 : cc - 1, :, :]
+        a = win_s[0:c_in, :, :]
     else:
-        # Padding in xp is already zero; rows beyond h / cols beyond w too.
-        a = win
+        a = masked(win_s[...])
 
     acc = None  # [O, th * w_out] f32
     for k, (dy, dx) in enumerate(_TAPS):
-        tap = a[:, dy : dy + th, dx : dx + w_out].reshape(a.shape[0], th * w_out)
+        tap = a[:, _HB - 1 + dy : _HB - 1 + dy + th, dx : dx + w_out].reshape(
+            c_in, th * w_out
+        )
         term = jax.lax.dot_general(
             wq_ref[k].astype(a.dtype),
             tap,
@@ -165,18 +182,14 @@ def _chain_kernel(
             preferred_element_type=jnp.float32,
         )
         acc = term if acc is None else acc + term
-    # Mask out-of-image output positions: they are NOT all zero (the conv
-    # at a row/col just past the edge still sees border data through its
-    # upper taps) and must not pollute the batch-stat sums.
+    # Mask out-of-image output positions (edge rows/cols pick up border
+    # data through their taps) before the stat sums; the store then
+    # slices the exact width.
     rows_o = jax.lax.broadcasted_iota(jnp.int32, (th, w_out), 0) + j * th
     cols_o = jax.lax.broadcasted_iota(jnp.int32, (th, w_out), 1)
     omask = ((rows_o < h) & (cols_o < w)).astype(jnp.float32).reshape(1, th * w_out)
     acc = acc * omask
-    y_ref[0] = acc.reshape(-1, th, w_out).astype(y_ref.dtype)
-    # Batch-stat moments accumulate in VMEM scratch across the whole
-    # (sequential) grid; written out once at the final step. Partial
-    # per-band output blocks would violate the TPU (8, 128) block tiling
-    # rule — whole-array blocks are exempt.
+    y_ref[0] = acc.reshape(-1, th, w_out)[:, :, 0:w].astype(y_ref.dtype)
     s1_s[...] += jnp.sum(acc, axis=1)[None, :]
     s2_s[...] += jnp.sum(acc * acc, axis=1)[None, :]
 
@@ -188,13 +201,6 @@ def _chain_kernel(
         s2_ref[...] = s2_s[...]
 
 
-def _augment(x):
-    """Append the validity-mask channel (1 inside the image; the later
-    zero-padding makes it 0 everywhere else)."""
-    n, c, h, w = x.shape
-    return jnp.concatenate([x, jnp.ones((n, 1, h, w), x.dtype)], axis=1)
-
-
 def _daug(inv, bias):
     """``[diag(inv) | bias]``: the BN fold as a ``[C, C+1]`` matrix over
     the mask-augmented channels."""
@@ -204,45 +210,55 @@ def _daug(inv, bias):
     )
 
 
+def _row_specs(c, th, w, n_hb):
+    """The three clamped row-block specs (prev-halo, main, next-halo).
+    Clamping only ever triggers when every row the section would cover is
+    outside the image, so the row-validity mask makes it safe."""
+    r = th // _HB
+    return [
+        pl.BlockSpec(
+            (1, c, _HB, w), lambda i, j: (i, 0, jnp.maximum(j * r - 1, 0), 0)
+        ),
+        pl.BlockSpec((1, c, th, w), lambda i, j: (i, 0, j, 0)),
+        pl.BlockSpec(
+            (1, c, _HB, w),
+            lambda i, j: (i, 0, jnp.minimum((j + 1) * r, n_hb - 1), 0),
+        ),
+    ]
+
+
 def _fwd_call(x, inv, bias, wq, bn_relu, interpret):
     n, c, h, w = x.shape
     o = wq.shape[1]
     th = _pick_th(c, o, h, w, jnp.dtype(x.dtype).itemsize)
     n_tiles = -(-h // th)
-    h_tiled = n_tiles * th
+    n_hb = -(-h // _HB)
     w_out = _round_up(w, 128)
-    w_pad = _round_up(w_out + 2, 128)
-    xa = _augment(x) if bn_relu else x
-    ca = xa.shape[1]
-    xp = jnp.pad(
-        xa, ((0, 0), (0, 0), (1, h_tiled - h + _HB - 1), (1, w_pad - w - 1))
-    )
+    w_in = _round_up(w_out + 2, 128)
+    ca = c + 1 if bn_relu else c
     daug = _daug(inv, bias) if bn_relu else jnp.zeros((c, c + 1), jnp.float32)
     y, s1, s2 = pl.pallas_call(
         functools.partial(
             _chain_kernel, th=th, w_out=w_out, h=h, w=w, bn_relu=bn_relu
         ),
         grid=(n, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, ca, th, w_pad), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec(
-                (1, ca, _HB, w_pad), lambda i, j: (i, 0, (j + 1) * (th // _HB), 0)
-            ),
+        in_specs=_row_specs(c, th, w, n_hb)
+        + [
             pl.BlockSpec((c, c + 1), lambda i, j: (0, 0)),
             pl.BlockSpec((9, o, c), lambda i, j: (0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, o, th, w_out), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, o, th, w), lambda i, j: (i, 0, j, 0)),
             pl.BlockSpec((1, o), lambda i, j: (0, 0)),
             pl.BlockSpec((1, o), lambda i, j: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, o, h_tiled, w_out), x.dtype),
+            jax.ShapeDtypeStruct((n, o, h, w), x.dtype),
             jax.ShapeDtypeStruct((1, o), jnp.float32),
             jax.ShapeDtypeStruct((1, o), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ca, th + _HB, w_pad), x.dtype),
+            pltpu.VMEM((ca, th + 2 * _HB, w_in), x.dtype),
             pltpu.VMEM((1, o), jnp.float32),
             pltpu.VMEM((1, o), jnp.float32),
         ],
@@ -250,8 +266,8 @@ def _fwd_call(x, inv, bias, wq, bn_relu, interpret):
             vmem_limit_bytes=_SCOPED_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(xp, xp, daug, wq)
-    return y[:, :, :h, :w], s1[0], s2[0]
+    )(x, x, x, daug, wq)
+    return y, s1[0], s2[0]
 
 
 def conv_chain_wq_reference(x, inv, bias, wq, bn_relu):
@@ -312,73 +328,76 @@ def conv_chain(x, inv, bias, wd, wp, bn_relu=True, interpret=False):
 
 
 def _bwd_kernel(
-    xm_ref, xh_ref, gm_ref, gh_ref, daug_ref, wq_ref,
+    xpv_ref, xm_ref, xnx_ref, gpv_ref, gm_ref, gnx_ref, daug_ref, wq_ref,
     dx_ref, dwq_ref, dinv_ref, dbias_ref,
     xwin_s, gwin_s, a_s, dwq_s, dinv_s, dbias_s,
     *, th, w_out, h, w, bn_relu,
 ):
-    """Fused backward: one HBM pass per row band.
+    """v2 fused backward: raw inputs via clamped row blocks (see
+    _chain_kernel for the window layout), one HBM pass per band.
 
-    Reads the saved input band ``x`` and the precomputed total output
-    cotangent ``dyt`` (both with halo), recomputes the prologue
-    activations flash-style, and emits: ``dx`` (transposed stencil via 9
-    MXU contractions, gated through the prologue), per-tap folded weight
-    grads ``dwq`` and the fold-scalar grads, accumulated in VMEM scratch
-    across the sequential grid and written at the last step.
+    Emits dx (transposed stencil through the folded weights, gated
+    through the recomputed prologue), per-tap weight grads and the
+    fold-scalar grads, accumulated in VMEM scratch across the sequential
+    grid and written at the last step.
 
-    Index geometry: window row ``r`` is original row ``band_start + r - 1``
-    (both padded arrays carry one top pad row). ``da``'s band row ``p``
-    reads ``dyt`` window row ``p + 2 - dy``; weight-grad tap ``k`` pairs
-    ``dyt``'s band (window rows ``1..1+th``) with ``a`` window rows
-    ``dy..dy+th``.
+    Mosaic construct notes (bisected on the rig): the relu gate compares
+    in f32 (no bf16 compare on this target) on the 3D activation slice
+    (reshaping the i1 gate crashes the compiler); the fold-grad
+    reductions run 2D with lane-axis sums (3D outer-dim reductions also
+    crash); converts happen before reshapes (type-mismatched
+    vector.broadcast otherwise).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(jnp.logical_and(i == 0, j == 0))
     def _():
+        xwin_s[...] = jnp.zeros_like(xwin_s)
+        gwin_s[...] = jnp.zeros_like(gwin_s)
         dwq_s[...] = jnp.zeros_like(dwq_s)
         dinv_s[...] = jnp.zeros_like(dinv_s)
         dbias_s[...] = jnp.zeros_like(dbias_s)
 
-    xwin_s[:, 0:th, :] = xm_ref[0]
-    xwin_s[:, th : th + _HB, :] = xh_ref[0]
-    gwin_s[:, 0:th, :] = gm_ref[0]
-    gwin_s[:, th : th + _HB, :] = gh_ref[0]
-    xwin = xwin_s[...]  # [C(+1), th+_HB, w_pad]
-    gwin = gwin_s[...]  # [O, th+_HB, w_pad]; zero outside the valid image
+    c = xm_ref.shape[1]
+    o = gm_ref.shape[1]
+    xwin_s[0:c, 0:_HB, 1 : w + 1] = xpv_ref[0]
+    xwin_s[0:c, _HB : _HB + th, 1 : w + 1] = xm_ref[0]
+    xwin_s[0:c, _HB + th :, 1 : w + 1] = xnx_ref[0]
+    gwin_s[:, 0:_HB, 1 : w + 1] = gpv_ref[0]
+    gwin_s[:, _HB : _HB + th, 1 : w + 1] = gm_ref[0]
+    gwin_s[:, _HB + th :, 1 : w + 1] = gnx_ref[0]
 
-    o = gwin.shape[0]
+    def masked(val):
+        rows_g = (
+            jax.lax.broadcasted_iota(jnp.int32, val.shape, 1) + j * th - _HB
+        )
+        return jnp.where((rows_g >= 0) & (rows_g < h), val, 0)
+
     if bn_relu:
-        # Matmul prologue over the mask-augmented channels (see
-        # _chain_kernel): z is inv*x + bias inside the image, exactly 0
-        # outside; the strict relu gate therefore also zeroes padding.
-        # Activations land in their own scratch so the f32 z is never
-        # retained (scoped VMEM is the binding constraint), and the gate
-        # below uses a > 0 — identical to z > 0 through the relu.
-        c = xwin.shape[0] - 1
+        ones = jnp.ones((1, th + 2 * _HB, w), xwin_s.dtype)
+        xwin_s[c : c + 1, :, 1 : w + 1] = ones
+        xw = masked(xwin_s[...])
         z = jax.lax.dot_general(
-            daug_ref[...].astype(xwin.dtype),
-            xwin.reshape(c + 1, -1),
+            daug_ref[...].astype(xw.dtype),
+            xw.reshape(c + 1, -1),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [C, (th+_HB)*w_pad] f32
-        a_s[...] = jnp.maximum(z, 0).astype(xwin.dtype).reshape(
-            c, *xwin.shape[1:]
         )
+        a_s[...] = jnp.maximum(z, 0).astype(xw.dtype).reshape(c, *xw.shape[1:])
         a = a_s[...]
     else:
-        c = xwin.shape[0]
-        a = xwin
+        a = masked(xwin_s[...])
+    g = masked(gwin_s[...])  # [O, th+2*_HB, w_in]
 
     # da = transposed stencil of dyt through the folded weights.
     da = None  # [C, th * w_out] f32
     for k, (dy, dx) in enumerate(_TAPS):
-        g_k = gwin[:, 2 - dy : 2 - dy + th, 2 - dx : 2 - dx + w_out].reshape(
-            o, th * w_out
-        )
+        g_k = g[
+            :, _HB + 1 - dy : _HB + 1 - dy + th, 2 - dx : 2 - dx + w_out
+        ].reshape(o, th * w_out)
         term = jax.lax.dot_general(
-            wq_ref[k].astype(gwin.dtype),
+            wq_ref[k].astype(g.dtype),
             g_k,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -386,9 +405,11 @@ def _bwd_kernel(
         da = term if da is None else da + term
 
     # Weight grads: pair dyt's band with the tap-shifted activations.
-    g_band = gwin[:, 1 : 1 + th, 1 : 1 + w_out].reshape(o, th * w_out)
+    g_band = g[:, _HB : _HB + th, 1 : 1 + w_out].reshape(o, th * w_out)
     for k, (dy, dx) in enumerate(_TAPS):
-        a_k = a[:, dy : dy + th, dx : dx + w_out].reshape(c, th * w_out)
+        a_k = a[:, _HB - 1 + dy : _HB - 1 + dy + th, dx : dx + w_out].reshape(
+            c, th * w_out
+        )
         dwq_s[k] += jax.lax.dot_general(
             g_band,
             a_k,
@@ -397,21 +418,11 @@ def _bwd_kernel(
         )
 
     if bn_relu:
-        # Mosaic construct notes (bisected on the rig): the relu gate must
-        # be applied as a 3D `where` (reshaping the i1 gate crashes the
-        # compiler), while the fold-grad reductions must run 2D with
-        # lane-axis sums (3D reductions to the outer dim also crash; the
-        # 2D form is what the forward's stat sums already proved out).
-        # f32 compare: the VPU has no bf16 comparison ("Target does not
-        # support this comparison") — likely also why every bf16
-        # elementwise-affine prologue variant crashed the helper.
-        gate = a[:, 1 : 1 + th, 1 : 1 + w_out].astype(jnp.float32) > 0
+        gate = a[:, _HB : _HB + th, 1 : 1 + w_out].astype(jnp.float32) > 0
         dz3 = jnp.where(gate, da.reshape(c, th, w_out), 0)
         dz = dz3.reshape(c, th * w_out)
-        # Convert BEFORE the reshape: convert-after-slice-reshape lowers
-        # to a type-mismatched vector.broadcast (Mosaic verifier bug).
         x_band = (
-            xwin[:c, 1 : 1 + th, 1 : 1 + w_out]
+            xw[0:c, _HB : _HB + th, 1 : 1 + w_out]
             .astype(jnp.float32)
             .reshape(c, th * w_out)
         )
@@ -426,7 +437,7 @@ def _bwd_kernel(
         )
     else:
         dx = da
-    dx_ref[0] = dx.reshape(c, th, w_out).astype(dx_ref.dtype)
+    dx_ref[0] = dx.reshape(c, th, w_out)[:, :, 0:w].astype(dx_ref.dtype)
 
     @pl.when(
         jnp.logical_and(i == pl.num_programs(0) - 1, j == pl.num_programs(1) - 1)
@@ -442,48 +453,38 @@ def _bwd_call(x, dyt, inv, bias, wq, bn_relu, interpret):
     o = wq.shape[1]
     th = _pick_th(c, o, h, w, jnp.dtype(x.dtype).itemsize)
     n_tiles = -(-h // th)
-    h_tiled = n_tiles * th
+    n_hb = -(-h // _HB)
     w_out = _round_up(w, 128)
-    w_pad = _round_up(w_out + 2, 128)
-    pad = ((0, 0), (0, 0), (1, h_tiled - h + _HB - 1), (1, w_pad - w - 1))
-    xa = _augment(x) if bn_relu else x
-    ca = xa.shape[1]
-    xp = jnp.pad(xa, pad)
-    gp = jnp.pad(dyt, pad)
+    w_in = _round_up(w_out + 2, 128)
+    ca = c + 1 if bn_relu else c
     daug = _daug(inv, bias) if bn_relu else jnp.zeros((c, c + 1), jnp.float32)
     dx, dwq, dinv, dbias = pl.pallas_call(
         functools.partial(
             _bwd_kernel, th=th, w_out=w_out, h=h, w=w, bn_relu=bn_relu
         ),
         grid=(n, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, ca, th, w_pad), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec(
-                (1, ca, _HB, w_pad), lambda i, j: (i, 0, (j + 1) * (th // _HB), 0)
-            ),
-            pl.BlockSpec((1, o, th, w_pad), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec(
-                (1, o, _HB, w_pad), lambda i, j: (i, 0, (j + 1) * (th // _HB), 0)
-            ),
+        in_specs=_row_specs(c, th, w, n_hb)
+        + _row_specs(o, th, w, n_hb)
+        + [
             pl.BlockSpec((c, c + 1), lambda i, j: (0, 0)),
             pl.BlockSpec((9, o, c), lambda i, j: (0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, c, th, w_out), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, c, th, w), lambda i, j: (i, 0, j, 0)),
             pl.BlockSpec((9, o, c), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, c, h_tiled, w_out), x.dtype),
+            jax.ShapeDtypeStruct((n, c, h, w), x.dtype),
             jax.ShapeDtypeStruct((9, o, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ca, th + _HB, w_pad), x.dtype),
-            pltpu.VMEM((o, th + _HB, w_pad), x.dtype),
-            pltpu.VMEM((c, th + _HB, w_pad), x.dtype),
+            pltpu.VMEM((ca, th + 2 * _HB, w_in), x.dtype),
+            pltpu.VMEM((o, th + 2 * _HB, w_in), x.dtype),
+            pltpu.VMEM((c if bn_relu else 1, th + 2 * _HB, w_in), x.dtype),
             pltpu.VMEM((9, o, c), jnp.float32),
             pltpu.VMEM((1, c), jnp.float32),
             pltpu.VMEM((1, c), jnp.float32),
@@ -492,8 +493,8 @@ def _bwd_call(x, dyt, inv, bias, wq, bn_relu, interpret):
             vmem_limit_bytes=_SCOPED_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(xp, xp, gp, gp, daug, wq)
-    return dx[:, :, :h, :w], dwq, dinv[0], dbias[0]
+    )(x, x, x, dyt, dyt, dyt, daug, wq)
+    return dx, dwq, dinv[0], dbias[0]
 
 
 def _vjp_fwd(bn_relu, interpret, x, inv, bias, wq):

@@ -112,6 +112,28 @@ def fold_weights(wd: jnp.ndarray, wp: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _store_masked_sections(win_s, refs, j, th, h, w, c_in):
+    """Assemble the window from the three row blocks, zeroing garbage
+    rows at store time (clamped edge blocks / block overhang): window row
+    ``r`` holds original row ``j*th - _HB + r``; a row is valid iff that
+    index is inside ``[0, h)``. Masking the small per-section stores
+    avoids materializing a second full-window value (scoped VMEM is the
+    binding constraint)."""
+    pv_ref, m_ref, nx_ref = refs
+    for sec, (ref, r0, nrows) in enumerate(
+        [(pv_ref, 0, _HB), (m_ref, _HB, th), (nx_ref, _HB + th, _HB)]
+    ):
+        val = ref[0]
+        rows_g = (
+            jax.lax.broadcasted_iota(jnp.int32, (c_in, nrows, w), 1)
+            + j * th
+            - _HB
+            + r0
+        )
+        val = jnp.where((rows_g >= 0) & (rows_g < h), val, 0)
+        win_s[0:c_in, r0 : r0 + nrows, 1 : w + 1] = val
+
+
 def _chain_kernel(
     xpv_ref, xm_ref, xnx_ref, daug_ref, wq_ref, y_ref, s1_ref, s2_ref,
     win_s, s1_s, s2_s, *, th, w_out, h, w, bn_relu,
@@ -138,24 +160,20 @@ def _chain_kernel(
         s2_s[...] = jnp.zeros_like(s2_s)
 
     c_in = xm_ref.shape[1]
-    win_s[0:c_in, 0:_HB, 1 : w + 1] = xpv_ref[0]
-    win_s[0:c_in, _HB : _HB + th, 1 : w + 1] = xm_ref[0]
-    win_s[0:c_in, _HB + th :, 1 : w + 1] = xnx_ref[0]
-
-    def masked(val):
-        # Full-shape 3D iota predicate — the construct the rig's Mosaic
-        # compiler accepts (sub-shape broadcasts are not reliable here).
-        rows_g = (
-            jax.lax.broadcasted_iota(jnp.int32, val.shape, 1) + j * th - _HB
-        )
-        return jnp.where((rows_g >= 0) & (rows_g < h), val, 0)
+    _store_masked_sections(win_s, (xpv_ref, xm_ref, xnx_ref), j, th, h, w, c_in)
 
     if bn_relu:
         # Synthesize the validity-mask channel in place (bias router for
         # the matmul prologue; see _daug).
-        ones = jnp.ones((1, th + 2 * _HB, w), win_s.dtype)
-        win_s[c_in : c_in + 1, :, 1 : w + 1] = ones
-        win = masked(win_s[...])
+        rows_m = jax.lax.broadcasted_iota(
+            jnp.int32, (1, th + 2 * _HB, w), 1
+        ) + j * th - _HB
+        win_s[c_in : c_in + 1, :, 1 : w + 1] = jnp.where(
+            (rows_m >= 0) & (rows_m < h),
+            jnp.ones((1, th + 2 * _HB, w), win_s.dtype),
+            0,
+        )
+        win = win_s[...]
         cc = c_in + 1
         z = jax.lax.dot_general(
             daug_ref[...].astype(win.dtype),
@@ -166,17 +184,13 @@ def _chain_kernel(
         win_s[0:c_in, :, :] = (
             jnp.maximum(z, 0).astype(win.dtype).reshape(c_in, *win.shape[1:])
         )
-        a = win_s[0:c_in, :, :]
-    else:
-        a = masked(win_s[...])
-
     acc = None  # [O, th * w_out] f32
     for k, (dy, dx) in enumerate(_TAPS):
-        tap = a[:, _HB - 1 + dy : _HB - 1 + dy + th, dx : dx + w_out].reshape(
-            c_in, th * w_out
-        )
+        tap = win_s[
+            0:c_in, _HB - 1 + dy : _HB - 1 + dy + th, dx : dx + w_out
+        ].reshape(c_in, th * w_out)
         term = jax.lax.dot_general(
-            wq_ref[k].astype(a.dtype),
+            wq_ref[k].astype(win_s.dtype),
             tap,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -361,23 +375,19 @@ def _bwd_kernel(
 
     c = xm_ref.shape[1]
     o = gm_ref.shape[1]
-    xwin_s[0:c, 0:_HB, 1 : w + 1] = xpv_ref[0]
-    xwin_s[0:c, _HB : _HB + th, 1 : w + 1] = xm_ref[0]
-    xwin_s[0:c, _HB + th :, 1 : w + 1] = xnx_ref[0]
-    gwin_s[:, 0:_HB, 1 : w + 1] = gpv_ref[0]
-    gwin_s[:, _HB : _HB + th, 1 : w + 1] = gm_ref[0]
-    gwin_s[:, _HB + th :, 1 : w + 1] = gnx_ref[0]
-
-    def masked(val):
-        rows_g = (
-            jax.lax.broadcasted_iota(jnp.int32, val.shape, 1) + j * th - _HB
-        )
-        return jnp.where((rows_g >= 0) & (rows_g < h), val, 0)
+    _store_masked_sections(xwin_s, (xpv_ref, xm_ref, xnx_ref), j, th, h, w, c)
+    _store_masked_sections(gwin_s, (gpv_ref, gm_ref, gnx_ref), j, th, h, w, o)
 
     if bn_relu:
-        ones = jnp.ones((1, th + 2 * _HB, w), xwin_s.dtype)
-        xwin_s[c : c + 1, :, 1 : w + 1] = ones
-        xw = masked(xwin_s[...])
+        rows_m = jax.lax.broadcasted_iota(
+            jnp.int32, (1, th + 2 * _HB, w), 1
+        ) + j * th - _HB
+        xwin_s[c : c + 1, :, 1 : w + 1] = jnp.where(
+            (rows_m >= 0) & (rows_m < h),
+            jnp.ones((1, th + 2 * _HB, w), xwin_s.dtype),
+            0,
+        )
+        xw = xwin_s[...]
         z = jax.lax.dot_general(
             daug_ref[...].astype(xw.dtype),
             xw.reshape(c + 1, -1),
@@ -385,19 +395,18 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )
         a_s[...] = jnp.maximum(z, 0).astype(xw.dtype).reshape(c, *xw.shape[1:])
-        a = a_s[...]
+        a_ref = a_s
     else:
-        a = masked(xwin_s[...])
-    g = masked(gwin_s[...])  # [O, th+2*_HB, w_in]
+        a_ref = xwin_s  # channels [0:c]; garbage rows zeroed at store
 
     # da = transposed stencil of dyt through the folded weights.
     da = None  # [C, th * w_out] f32
     for k, (dy, dx) in enumerate(_TAPS):
-        g_k = g[
+        g_k = gwin_s[
             :, _HB + 1 - dy : _HB + 1 - dy + th, 2 - dx : 2 - dx + w_out
         ].reshape(o, th * w_out)
         term = jax.lax.dot_general(
-            wq_ref[k].astype(g.dtype),
+            wq_ref[k].astype(gwin_s.dtype),
             g_k,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -405,11 +414,11 @@ def _bwd_kernel(
         da = term if da is None else da + term
 
     # Weight grads: pair dyt's band with the tap-shifted activations.
-    g_band = g[:, _HB : _HB + th, 1 : 1 + w_out].reshape(o, th * w_out)
+    g_band = gwin_s[:, _HB : _HB + th, 1 : 1 + w_out].reshape(o, th * w_out)
     for k, (dy, dx) in enumerate(_TAPS):
-        a_k = a[:, _HB - 1 + dy : _HB - 1 + dy + th, dx : dx + w_out].reshape(
-            c, th * w_out
-        )
+        a_k = a_ref[
+            0:c, _HB - 1 + dy : _HB - 1 + dy + th, dx : dx + w_out
+        ].reshape(c, th * w_out)
         dwq_s[k] += jax.lax.dot_general(
             g_band,
             a_k,
@@ -418,11 +427,11 @@ def _bwd_kernel(
         )
 
     if bn_relu:
-        gate = a[:, _HB : _HB + th, 1 : 1 + w_out].astype(jnp.float32) > 0
+        gate = a_s[0:c, _HB : _HB + th, 1 : 1 + w_out].astype(jnp.float32) > 0
         dz3 = jnp.where(gate, da.reshape(c, th, w_out), 0)
         dz = dz3.reshape(c, th * w_out)
         x_band = (
-            xw[0:c, _HB : _HB + th, 1 : 1 + w_out]
+            xwin_s[0:c, _HB : _HB + th, 1 : 1 + w_out]
             .astype(jnp.float32)
             .reshape(c, th * w_out)
         )

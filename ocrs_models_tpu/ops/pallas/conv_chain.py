@@ -165,12 +165,14 @@ def _chain_kernel(
     if bn_relu:
         # Synthesize the validity-mask channel in place (bias router for
         # the matmul prologue; see _daug).
+        # 2D (no leading singleton: that i1 shape trips a Mosaic relayout
+        # bug) mask-channel synthesis.
         rows_m = jax.lax.broadcasted_iota(
-            jnp.int32, (1, th + 2 * _HB, w), 1
+            jnp.int32, (th + 2 * _HB, w), 0
         ) + j * th - _HB
-        win_s[c_in : c_in + 1, :, 1 : w + 1] = jnp.where(
+        win_s[c_in, :, 1 : w + 1] = jnp.where(
             (rows_m >= 0) & (rows_m < h),
-            jnp.ones((1, th + 2 * _HB, w), win_s.dtype),
+            jnp.ones((th + 2 * _HB, w), win_s.dtype),
             0,
         )
         win = win_s[...]
@@ -380,11 +382,11 @@ def _bwd_kernel(
 
     if bn_relu:
         rows_m = jax.lax.broadcasted_iota(
-            jnp.int32, (1, th + 2 * _HB, w), 1
+            jnp.int32, (th + 2 * _HB, w), 0
         ) + j * th - _HB
-        xwin_s[c : c + 1, :, 1 : w + 1] = jnp.where(
+        xwin_s[c, :, 1 : w + 1] = jnp.where(
             (rows_m >= 0) & (rows_m < h),
-            jnp.ones((1, th + 2 * _HB, w), xwin_s.dtype),
+            jnp.ones((th + 2 * _HB, w), xwin_s.dtype),
             0,
         )
         xw = xwin_s[...]

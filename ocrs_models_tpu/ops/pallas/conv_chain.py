@@ -170,11 +170,11 @@ def _chain_kernel(
         rows_m = jax.lax.broadcasted_iota(
             jnp.int32, (th + 2 * _HB, w), 0
         ) + j * th - _HB
+        # Select in f32 (the compare's native layout), then convert: an
+        # i1 select with bf16 operands trips a Mosaic relayout bug.
         win_s[c_in, :, 1 : w + 1] = jnp.where(
-            (rows_m >= 0) & (rows_m < h),
-            jnp.ones((th + 2 * _HB, w), win_s.dtype),
-            0,
-        )
+            (rows_m >= 0) & (rows_m < h), 1.0, 0.0
+        ).astype(win_s.dtype)
         win = win_s[...]
         cc = c_in + 1
         z = jax.lax.dot_general(
@@ -384,11 +384,11 @@ def _bwd_kernel(
         rows_m = jax.lax.broadcasted_iota(
             jnp.int32, (th + 2 * _HB, w), 0
         ) + j * th - _HB
+        # Select in f32 (the compare's native layout), then convert: an
+        # i1 select with bf16 operands trips a Mosaic relayout bug.
         xwin_s[c, :, 1 : w + 1] = jnp.where(
-            (rows_m >= 0) & (rows_m < h),
-            jnp.ones((th + 2 * _HB, w), xwin_s.dtype),
-            0,
-        )
+            (rows_m >= 0) & (rows_m < h), 1.0, 0.0
+        ).astype(xwin_s.dtype)
         xw = xwin_s[...]
         z = jax.lax.dot_general(
             daug_ref[...].astype(xw.dtype),

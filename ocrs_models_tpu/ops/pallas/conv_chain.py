@@ -68,11 +68,11 @@ def _round_up(v: int, m: int) -> int:
 
 # Per-kernel scoped-vmem cap, raised from Mosaic's 16 MB default (v5e has
 # 128 MB of VMEM; 32 MB leaves ample room for the runtime's own buffers).
-_SCOPED_VMEM_LIMIT = 32 * 1024 * 1024
+_SCOPED_VMEM_LIMIT = 64 * 1024 * 1024
 # Geometry budget against that cap, with margin for lowering transients
 # the estimate cannot see (measured: real allocation runs up to ~1.4x the
 # estimate on this rig's compile helper).
-_VMEM_BUDGET = 22 * 1024 * 1024
+_VMEM_BUDGET = 38 * 1024 * 1024
 
 
 def _vmem_estimate(c: int, o: int, h: int, w: int, th: int, itemsize: int) -> int:
@@ -120,23 +120,36 @@ def _store_masked_sections(win_s, refs, j, th, h, w, c_in):
     avoids materializing a second full-window value (scoped VMEM is the
     binding constraint)."""
     pv_ref, m_ref, nx_ref = refs
-    for sec, (ref, r0, nrows) in enumerate(
-        [(pv_ref, 0, _HB), (m_ref, _HB, th), (nx_ref, _HB + th, _HB)]
-    ):
+    for ref, r0, nrows in [
+        (pv_ref, 0, _HB),
+        (m_ref, _HB, th),
+        (nx_ref, _HB + th, _HB),
+    ]:
         val = ref[0]
-        rows_g = (
-            jax.lax.broadcasted_iota(jnp.int32, (c_in, nrows, w), 1)
-            + j * th
-            - _HB
-            + r0
-        )
-        val = jnp.where((rows_g >= 0) & (rows_g < h), val, 0)
         win_s[0:c_in, r0 : r0 + nrows, 1 : w + 1] = val
+        # Rows can only be invalid at the edges: the prev section at the
+        # first band, the main/next sections once the band reaches the
+        # image bottom. Re-store masked only there (interior bands — the
+        # vast majority — skip the iota/select entirely).
+        first_row = j * th - _HB + r0
+        edge = (first_row < 0) if r0 == 0 else (first_row + nrows > h)
+
+        @pl.when(edge)
+        def _(val=val, r0=r0, nrows=nrows):
+            rows_g = (
+                jax.lax.broadcasted_iota(jnp.int32, (c_in, nrows, w), 1)
+                + j * th
+                - _HB
+                + r0
+            )
+            win_s[0:c_in, r0 : r0 + nrows, 1 : w + 1] = jnp.where(
+                (rows_g >= 0) & (rows_g < h), val, 0
+            )
 
 
 def _chain_kernel(
-    xpv_ref, xm_ref, xnx_ref, daug_ref, wq_ref, y_ref, s1_ref, s2_ref,
-    win_s, s1_s, s2_s, *, th, w_out, h, w, bn_relu,
+    xpv_ref, xm_ref, xnx_ref, daug_ref, wq3_ref, y_ref, s1_ref, s2_ref,
+    win_s, a3_s, s1_s, s2_s, *, th, w_out, h, w, bn_relu,
 ):
     """v2 band kernel: raw (unpadded) inputs via three clamped row blocks.
 
@@ -186,13 +199,20 @@ def _chain_kernel(
         win_s[0:c_in, :, :] = (
             jnp.maximum(z, 0).astype(win.dtype).reshape(c_in, *win.shape[1:])
         )
+    # Taps grouped by lane shift: three rotated copies into a3_s, then
+    # three K=3C contractions over row (sublane) offsets — 3 instead of 9
+    # lane-rotated operand materializations, 3x the MXU K-efficiency.
+    for dx in range(3):
+        a3_s[dx * c_in : (dx + 1) * c_in, :, :] = win_s[
+            0:c_in, :, dx : dx + w_out
+        ]
     acc = None  # [O, th * w_out] f32
-    for k, (dy, dx) in enumerate(_TAPS):
-        tap = win_s[
-            0:c_in, _HB - 1 + dy : _HB - 1 + dy + th, dx : dx + w_out
-        ].reshape(c_in, th * w_out)
+    for dy in range(3):
+        tap = a3_s[:, _HB - 1 + dy : _HB - 1 + dy + th, :].reshape(
+            3 * c_in, th * w_out
+        )
         term = jax.lax.dot_general(
-            wq_ref[k].astype(win_s.dtype),
+            wq3_ref[dy].astype(win_s.dtype),
             tap,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -253,6 +273,9 @@ def _fwd_call(x, inv, bias, wq, bn_relu, interpret):
     w_in = _round_up(w_out + 2, 128)
     ca = c + 1 if bn_relu else c
     daug = _daug(inv, bias) if bn_relu else jnp.zeros((c, c + 1), jnp.float32)
+    wq3 = (
+        wq.reshape(3, 3, o, c).transpose(0, 2, 1, 3).reshape(3, o, 3 * c)
+    )
     y, s1, s2 = pl.pallas_call(
         functools.partial(
             _chain_kernel, th=th, w_out=w_out, h=h, w=w, bn_relu=bn_relu
@@ -261,7 +284,7 @@ def _fwd_call(x, inv, bias, wq, bn_relu, interpret):
         in_specs=_row_specs(c, th, w, n_hb)
         + [
             pl.BlockSpec((c, c + 1), lambda i, j: (0, 0)),
-            pl.BlockSpec((9, o, c), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((3, o, 3 * c), lambda i, j: (0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, o, th, w), lambda i, j: (i, 0, j, 0)),
@@ -275,6 +298,7 @@ def _fwd_call(x, inv, bias, wq, bn_relu, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((ca, th + 2 * _HB, w_in), x.dtype),
+            pltpu.VMEM((3 * c, th + 2 * _HB, w_out), x.dtype),
             pltpu.VMEM((1, o), jnp.float32),
             pltpu.VMEM((1, o), jnp.float32),
         ],
@@ -282,7 +306,7 @@ def _fwd_call(x, inv, bias, wq, bn_relu, interpret):
             vmem_limit_bytes=_SCOPED_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(x, x, x, daug, wq)
+    )(x, x, x, daug, wq3)
     return y, s1[0], s2[0]
 
 

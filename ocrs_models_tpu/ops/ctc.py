@@ -21,11 +21,23 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
+def _resolve_backend(backend: str) -> str:
+    """'auto' -> 'pallas' on a single-device TPU process, else 'scan'
+    (same policy as ops/gru.py: the fused-recurrence kernel is a
+    per-device call and is what kills the T-step launch latency)."""
+    if backend != "auto":
+        return backend
+    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+        return "pallas"
+    return "scan"
+
+
 def ctc_loss_forward(
     log_probs: jnp.ndarray,
     labels: jnp.ndarray,
     input_lengths: jnp.ndarray,
     label_lengths: jnp.ndarray,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Per-sample CTC negative log-likelihood.
 
@@ -33,6 +45,8 @@ def ctc_loss_forward(
     :param labels: ``[N, L]`` int labels, 0-padded.
     :param input_lengths: ``[N]`` valid timesteps per sample.
     :param label_lengths: ``[N]`` valid labels per sample.
+    :param backend: ``"auto" | "pallas" | "pallas-interpret" | "scan"``
+        — recurrence implementation (the surrounding math is shared).
     :return: ``[N]`` negative log-likelihoods.
     """
     n, t, c = log_probs.shape
@@ -77,20 +91,40 @@ def ctc_loss_forward(
         )
         return jnp.where(m <= _NEG_INF, _NEG_INF, out)
 
-    def step(alpha, inputs):
-        emit_t, t_idx = inputs
-        stay = alpha
-        from1 = jnp.pad(alpha[:, :-1], ((0, 0), (1, 0)), constant_values=_NEG_INF)
-        from2 = jnp.pad(alpha[:, :-2], ((0, 0), (2, 0)), constant_values=_NEG_INF)
-        from2 = jnp.where(can_skip, from2, _NEG_INF)
-        new_alpha = logaddexp3(stay, from1, from2) + emit_t
-        # Freeze alpha past each sample's input length.
-        active = (t_idx < input_lengths)[:, None]
-        return jnp.where(active, new_alpha, alpha), None
+    resolved = _resolve_backend(backend)
+    if resolved.startswith("pallas"):
+        from .pallas.ctc_kernel import ctc_alphas
 
-    alpha_final, _ = jax.lax.scan(
-        step, alpha0, (emit[1:], jnp.arange(1, t)), unroll=4
-    )
+        active = (
+            jnp.arange(t)[:, None] < input_lengths[None, :]
+        )[:, :, None]  # [T, N, 1]
+        emit_g = jnp.where(active, emit, 0.0)
+        gate = jnp.where(active, 0.0, _NEG_INF) * jnp.ones((1, 1, s))
+        skip_add = jnp.where(can_skip, 0.0, _NEG_INF)
+        alphas = ctc_alphas(
+            emit_g, gate, skip_add, alpha0, resolved == "pallas-interpret"
+        )
+        alpha_final = alphas[t - 1]
+    else:
+
+        def step(alpha, inputs):
+            emit_t, t_idx = inputs
+            stay = alpha
+            from1 = jnp.pad(
+                alpha[:, :-1], ((0, 0), (1, 0)), constant_values=_NEG_INF
+            )
+            from2 = jnp.pad(
+                alpha[:, :-2], ((0, 0), (2, 0)), constant_values=_NEG_INF
+            )
+            from2 = jnp.where(can_skip, from2, _NEG_INF)
+            new_alpha = logaddexp3(stay, from1, from2) + emit_t
+            # Freeze alpha past each sample's input length.
+            active = (t_idx < input_lengths)[:, None]
+            return jnp.where(active, new_alpha, alpha), None
+
+        alpha_final, _ = jax.lax.scan(
+            step, alpha0, (emit[1:], jnp.arange(1, t)), unroll=4
+        )
 
     # Total log prob: last blank + last label positions.
     end = 2 * label_lengths
@@ -110,9 +144,12 @@ def ctc_loss(
     labels: jnp.ndarray,
     input_lengths: jnp.ndarray,
     label_lengths: jnp.ndarray,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """CTC loss with torch's default ``mean`` reduction: per-sample NLL
     divided by target length (clamped to >=1), averaged over the batch."""
-    nll = ctc_loss_forward(log_probs, labels, input_lengths, label_lengths)
+    nll = ctc_loss_forward(
+        log_probs, labels, input_lengths, label_lengths, backend
+    )
     denom = jnp.maximum(label_lengths, 1).astype(nll.dtype)
     return jnp.mean(nll / denom)

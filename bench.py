@@ -137,8 +137,10 @@ def bench_layout():
 
 
 def bench_rec_wide(state, train_step):
-    """W=1024 bucket (the hiertext.py W<=800 cap rounds up to 1024; T=257)."""
-    batch = _rec_batch(64, 1024, max_chars=48)
+    """W=1024 bucket (the hiertext.py W<=800 cap rounds up to 1024; T=257).
+    Batch 128 is the measured throughput optimum (3756 vs 2700 crops/s at
+    64, regressing again by 192 — docs/det_perf.md round-2 notes)."""
+    batch = _rec_batch(128, 1024, max_chars=48)
     lr = jnp.float32(1e-3)
     state, m = train_step(state, batch, lr)
     float(m["loss"])
@@ -148,7 +150,7 @@ def bench_rec_wide(state, train_step):
         state, m = train_step(state, batch, lr)
     float(m["loss"])
     elapsed = time.perf_counter() - start
-    crops = 64 * iters / elapsed
+    crops = 128 * iters / elapsed
     _emit(
         "recognition_train_wide_w1024_crops_per_sec_per_chip",
         crops,
@@ -161,7 +163,7 @@ def bench_rec_wide(state, train_step):
 def bench_rec_mixed(state, train_step):
     """Mixed-bucket epoch: 55% of crops in the 256 bucket, 30% in 512,
     15% in 1024 — batch sizes hold the pixel budget constant."""
-    buckets = [(256, 256, 11), (512, 128, 12), (1024, 64, 12)]  # (W, batch, iters)
+    buckets = [(256, 256, 11), (512, 128, 12), (1024, 128, 6)]  # (W, batch, iters)
     batches = {w: _rec_batch(b, w, max_chars=min(24, w // 16)) for w, b, _ in buckets}
     lr = jnp.float32(1e-3)
     for w, b, _ in buckets:  # compile

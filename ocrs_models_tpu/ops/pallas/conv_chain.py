@@ -28,23 +28,30 @@ elementwise kernel formulation lose in the full model.
 
 The prologue is ALSO a matmul: per-channel elementwise broadcasts of the
 fold scalars crash this rig's Mosaic compiler in every tested layout
-(docs/det_perf.md), so the input carries an extra validity-mask channel
-(1 inside the image — zero-padding makes it 0 everywhere else) and the
-affine runs as ``z = [diag(inv) | bias] @ [x; mask]`` on the MXU:
-``inv*x + bias`` inside the image and exactly 0 outside, which restores
-the conv's zero-padding semantics with no in-kernel masking.
+(docs/det_perf.md), so the window carries an extra validity-mask channel
+(synthesized in scratch, never materialized in HBM) and the affine runs
+as ``z = [diag(inv) | bias] @ [x; mask]`` on the MXU: ``inv*x + bias``
+inside the image and exactly 0 outside, which restores the conv's
+zero-padding semantics with no per-channel broadcasts.
 
-Row-halo handling is a BlockSpec two-band trick (this rig's Mosaic
-rejects manual halo DMA): the same padded input is
-passed twice, a ``th``-row main band plus a ``_HB``-row halo band
-starting exactly at the band end, assembled into a ``(th+2)``-row window
-in VMEM scratch.
+Band I/O is zero-copy (v2): the kernels read the raw ``[N, C, H, W]``
+tensors through three clamped row blocks (prev-halo / main / next-halo —
+this rig's Mosaic rejects manual halo DMA), zero garbage rows in the
+per-section stores, keep window data at a +1 column offset between
+zeroed strips so the three tap columns slice in-bounds, and store
+exact-shape outputs — no XLA pad/concat/slice passes surround the
+calls.
 
 The op carries a ``jax.custom_vjp``; the backward is a second fused
 kernel (``_bwd_kernel``) emitting dx (transposed stencil through the
 folded weights, gated through the recomputed prologue), the per-tap
 folded weight grads and the fold-scalar grads in one HBM pass per band,
 validated against XLA autodiff of the pure-JAX reference.
+
+Measured outcome and construct-by-construct Mosaic findings:
+docs/det_perf.md — the pair is correct and compiles at every production
+geometry but stays opt-in (``OCRS_TPU_FUSED_CONV``) because XLA's fused
+9-shift formulation wins at the detection U-Net's C<=32.
 """
 
 from __future__ import annotations
@@ -57,7 +64,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _HB = 16  # halo band rows; also the row-band quantum (bf16 sublane tile x2)
-_MAX_TH = 64  # VMEM-gated per geometry (_pick_th); v2 halo is 2*_HB rows
+_MAX_TH = 64  # VMEM-gated per geometry (_pick_th); halo is 2*_HB rows/band
 
 _TAPS = tuple((dy, dx) for dy in range(3) for dx in range(3))
 
@@ -67,7 +74,7 @@ def _round_up(v: int, m: int) -> int:
 
 
 # Per-kernel scoped-vmem cap, raised from Mosaic's 16 MB default (v5e has
-# 128 MB of VMEM; 32 MB leaves ample room for the runtime's own buffers).
+# 128 MB of VMEM; half of it leaves ample room for the runtime's buffers).
 _SCOPED_VMEM_LIMIT = 64 * 1024 * 1024
 # Geometry budget against that cap, with margin for lowering transients
 # the estimate cannot see (measured: real allocation runs up to ~1.4x the

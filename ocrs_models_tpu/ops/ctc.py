@@ -93,7 +93,7 @@ def ctc_loss_forward(
 
     resolved = _resolve_backend(backend)
     if resolved.startswith("pallas"):
-        from .pallas.ctc_kernel import ctc_alphas
+        from .pallas.ctc_kernel import ctc_alpha_final
 
         active = (
             jnp.arange(t)[:, None] < input_lengths[None, :]
@@ -101,10 +101,9 @@ def ctc_loss_forward(
         emit_g = jnp.where(active, emit, 0.0)
         gate = jnp.where(active, 0.0, _NEG_INF) * jnp.ones((1, 1, s))
         skip_add = jnp.where(can_skip, 0.0, _NEG_INF)
-        alphas = ctc_alphas(
+        alpha_final = ctc_alpha_final(
             emit_g, gate, skip_add, alpha0, resolved == "pallas-interpret"
         )
-        alpha_final = alphas[t - 1]
     else:
 
         def step(alpha, inputs):

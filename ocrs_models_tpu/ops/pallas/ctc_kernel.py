@@ -25,9 +25,8 @@ seeded from the magnitude of the final-state cotangent normalized by
 ``alpha[T-1]``; the caller applies the cotangent's (per-sample uniform)
 sign. The custom_vjp wraps only the recurrence — the one-hot emission
 matmul and the final log-likelihood reduction stay in XLA and autodiff
-normally. The cotangent restriction (nonzero only at ``alphas[T-1]``,
-single sign per sample) matches every CTC-loss consumer; it is asserted
-structurally by construction in ops/ctc.py.
+normally — and the public op returns only ``alpha[T-1]``, so the
+"cotangent lives at the final step" structure holds by construction.
 """
 
 from __future__ import annotations
@@ -166,8 +165,8 @@ def _beta_call(emit_g, emit1, emit2, gate, skip2, alphas, seed, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def ctc_alphas(emit_g, gate, skip, alpha0, interpret=False):
-    """All-timestep CTC forward variables in one kernel launch.
+def ctc_alpha_final(emit_g, gate, skip, alpha0, interpret=False):
+    """Final CTC forward variables ``alpha[T-1]`` in one kernel launch.
 
     :param emit_g: ``[T, N, S]`` f32 extended-position emission
         log-probs, zeroed at frozen steps (``t >= input_len``); row 0 is
@@ -175,25 +174,26 @@ def ctc_alphas(emit_g, gate, skip, alpha0, interpret=False):
     :param gate: ``[T, N, S]`` f32 — 0 while active, ``-inf`` frozen.
     :param skip: ``[N, S]`` f32 — 0 where the p-2 transition is allowed.
     :param alpha0: ``[N, S]`` f32 initial state.
-    :return: ``[T, N, S]`` f32 alphas (``alphas[0] == alpha0``).
+    :return: ``[N, S]`` f32 ``alpha[T-1]``.
 
-    The VJP supports cotangents that are nonzero only at ``alphas[T-1]``
-    with one sign per sample (what any CTC log-likelihood reduction
-    produces); gradients flow to ``emit_g`` (rows 1..T-1) and
-    ``alpha0``.
+    Returning only the final state makes the VJP's structure exact by
+    construction; the one remaining requirement is a per-sample uniform
+    cotangent sign (any log-likelihood reduction of ``alpha[T-1]``
+    satisfies it — the cotangent is a scaled softmax).
     """
-    return _alpha_call(emit_g, gate, skip, alpha0, interpret)
+    return _alpha_call(emit_g, gate, skip, alpha0, interpret)[
+        emit_g.shape[0] - 1
+    ]
 
 
 def _vjp_fwd(emit_g, gate, skip, alpha0, interpret):
     alphas = _alpha_call(emit_g, gate, skip, alpha0, interpret)
-    return alphas, (emit_g, gate, skip, alphas)
+    return alphas[emit_g.shape[0] - 1], (emit_g, gate, skip, alphas)
 
 
-def _vjp_bwd(interpret, res, dalphas):
+def _vjp_bwd(interpret, res, d_last):
     emit_g, gate, skip, alphas = res
     t, n, s = emit_g.shape
-    d_last = dalphas[t - 1]  # [N, S]; other rows assumed zero (see doc)
     mag = jnp.abs(d_last)
     sign = jnp.where(d_last < 0, -1.0, 1.0)
     seed = jnp.where(
@@ -215,4 +215,4 @@ def _vjp_bwd(interpret, res, dalphas):
     return demit, jnp.zeros_like(gate), jnp.zeros_like(skip), dalpha0
 
 
-ctc_alphas.defvjp(_vjp_fwd, _vjp_bwd)
+ctc_alpha_final.defvjp(_vjp_fwd, _vjp_bwd)

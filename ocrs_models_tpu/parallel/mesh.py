@@ -55,3 +55,66 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
         return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
+
+
+def create_mesh_2d(
+    dp: int,
+    mp: int,
+    axes: tuple[str, str] = ("data", "model"),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D (data x model) mesh for tensor-parallel demonstrations.
+
+    At the reference's model sizes data parallelism is the production
+    choice (see module docstring); this exists to exercise and validate
+    TP shardings end-to-end (layout transformer; `__graft_entry__`'s
+    multi-chip dry run and tests/test_parallel_tp.py assert loss parity
+    against the replicated step).
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    return Mesh(devices, axes)
+
+
+def layout_tp_spec(path, axis: str = "model"):
+    """Megatron-style PartitionSpec for one layout-encoder parameter:
+    column-parallel qkv / linear1 (outputs sharded over ``axis``),
+    row-parallel out_proj / linear2 (inputs sharded; XLA inserts the
+    all-reduce after the contraction), everything else replicated."""
+    keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+    name = keys[-1] if keys else None
+    parent = keys[-2] if len(keys) > 1 else None
+    if name == "qkv_kernel" or (parent == "linear1" and name == "kernel"):
+        return P(None, axis)
+    if name == "qkv_bias" or (parent == "linear1" and name == "bias"):
+        return P(axis)
+    if parent in ("linear2", "out_proj") and name == "kernel":
+        return P(axis, None)
+    return P()
+
+
+def layout_tp_state_shardings(state: Any, mesh: Mesh, axis: str = "model") -> Any:
+    """NamedSharding tree for a layout ``TrainState``: parameters and the
+    Adam moments (which mirror the parameter tree) follow
+    :func:`layout_tp_spec`; every other leaf is replicated."""
+    by_key = {
+        jax.tree_util.keystr(p): layout_tp_spec(p, axis)
+        for p, _ in jax.tree_util.tree_leaves_with_path(state.params)
+    }
+
+    def assign(path, leaf):
+        ks = jax.tree_util.keystr(path)
+        for marker in (".params", ".mu", ".nu"):
+            if marker + "[" in ks:
+                rest = ks.split(marker, 1)[1]
+                if rest in by_key:
+                    return NamedSharding(mesh, by_key[rest])
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, state)
+
+
+def shard_tree(tree: Any, shardings: Any) -> Any:
+    """Device-put a pytree leaf-wise onto the given sharding tree."""
+    return jax.tree.map(jax.device_put, tree, shardings)

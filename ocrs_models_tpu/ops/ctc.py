@@ -18,7 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = -1e30
+from .pallas.ctc_kernel import NEG_INF as _NEG_INF
+from .pallas.ctc_kernel import _lse3
 
 
 def _resolve_backend(backend: str) -> str:
@@ -83,14 +84,6 @@ def ctc_loss_forward(
     # via pos<=1 (pos 1 invalid if label_len == 0).
     alpha0 = jnp.where((pos == 1) & (label_lengths[:, None] == 0), _NEG_INF, alpha0)
 
-    def logaddexp3(a, b, c_):
-        m = jnp.maximum(jnp.maximum(a, b), c_)
-        m_safe = jnp.maximum(m, _NEG_INF)
-        out = m_safe + jnp.log(
-            jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c_ - m_safe)
-        )
-        return jnp.where(m <= _NEG_INF, _NEG_INF, out)
-
     resolved = _resolve_backend(backend)
     if resolved.startswith("pallas"):
         from .pallas.ctc_kernel import ctc_alpha_final
@@ -116,7 +109,7 @@ def ctc_loss_forward(
                 alpha[:, :-2], ((0, 0), (2, 0)), constant_values=_NEG_INF
             )
             from2 = jnp.where(can_skip, from2, _NEG_INF)
-            new_alpha = logaddexp3(stay, from1, from2) + emit_t
+            new_alpha = _lse3(stay, from1, from2) + emit_t
             # Freeze alpha past each sample's input length.
             active = (t_idx < input_lengths)[:, None]
             return jnp.where(active, new_alpha, alpha), None

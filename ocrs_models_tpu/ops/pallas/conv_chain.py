@@ -101,12 +101,14 @@ def _vmem_estimate(c: int, o: int, h: int, w: int, th: int, itemsize: int) -> in
 def _pick_th(c: int, o: int, h: int, w: int, itemsize: int = 2) -> int | None:
     """Largest row-band height (multiple of _HB, <= _MAX_TH) whose
     backward fits the VMEM budget; None if even th=_HB does not."""
+    tried = set()
     for th in range(_MAX_TH, 0, -_HB):
         th_eff = min(_round_up(h, _HB), th)
+        if th_eff in tried:
+            continue
+        tried.add(th_eff)
         if _vmem_estimate(c, o, h, w, th_eff, itemsize) < _VMEM_BUDGET:
             return th_eff
-        if th_eff < th:
-            break
     return None
 
 
@@ -274,6 +276,12 @@ def _fwd_call(x, inv, bias, wq, bn_relu, interpret):
     n, c, h, w = x.shape
     o = wq.shape[1]
     th = _pick_th(c, o, h, w, jnp.dtype(x.dtype).itemsize)
+    if th is None:
+        raise ValueError(
+            f"conv_chain: geometry C={c} O={o} {h}x{w} ({x.dtype}) exceeds "
+            "the kernel's VMEM budget — gate calls with "
+            "chain_shapes_supported()"
+        )
     n_tiles = -(-h // th)
     n_hb = -(-h // _HB)
     w_out = _round_up(w, 128)
@@ -494,6 +502,12 @@ def _bwd_call(x, dyt, inv, bias, wq, bn_relu, interpret):
     n, c, h, w = x.shape
     o = wq.shape[1]
     th = _pick_th(c, o, h, w, jnp.dtype(x.dtype).itemsize)
+    if th is None:
+        raise ValueError(
+            f"conv_chain: geometry C={c} O={o} {h}x{w} ({x.dtype}) exceeds "
+            "the kernel's VMEM budget — gate calls with "
+            "chain_shapes_supported()"
+        )
     n_tiles = -(-h // th)
     n_hb = -(-h // _HB)
     w_out = _round_up(w, 128)

@@ -116,9 +116,13 @@ def _beta_kernel(
     demit_ref[0] = jnp.exp(alphas_ref[0] + st_s[:, 0:s])
 
 
-def _alpha_call(emit_g, gate, skip, alpha0, interpret):
+def _alpha_call(emit_g, gate, skip, alpha0, interpret, final_only=False):
+    """Run the alpha recurrence; ``final_only`` writes every step to the
+    same single-block output (the grid is sequential, so it ends up
+    holding ``alpha[T-1]``) instead of materializing all T steps — the
+    no-grad path never pays the [T, N, S] HBM write."""
     t, n, s = emit_g.shape
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_alpha_kernel, s=s),
         grid=(t,),
         in_specs=[
@@ -127,11 +131,15 @@ def _alpha_call(emit_g, gate, skip, alpha0, interpret):
             pl.BlockSpec((n, s), lambda i: (0, 0)),
             pl.BlockSpec((n, s), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n, s), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((t, n, s), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, n, s),
+            (lambda i: (0, 0, 0)) if final_only else (lambda i: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1 if final_only else t, n, s), jnp.float32),
         scratch_shapes=[pltpu.VMEM((n, s + 2), jnp.float32)],
         interpret=interpret,
     )(emit_g, gate, skip, alpha0)
+    return out
 
 
 def _beta_call(emit_g, emit1, emit2, gate, skip2, alphas, seed, interpret):
@@ -181,9 +189,7 @@ def ctc_alpha_final(emit_g, gate, skip, alpha0, interpret=False):
     cotangent sign (any log-likelihood reduction of ``alpha[T-1]``
     satisfies it — the cotangent is a scaled softmax).
     """
-    return _alpha_call(emit_g, gate, skip, alpha0, interpret)[
-        emit_g.shape[0] - 1
-    ]
+    return _alpha_call(emit_g, gate, skip, alpha0, interpret, final_only=True)[0]
 
 
 def _vjp_fwd(emit_g, gate, skip, alpha0, interpret):
@@ -196,9 +202,9 @@ def _vjp_bwd(interpret, res, d_last):
     t, n, s = emit_g.shape
     mag = jnp.abs(d_last)
     sign = jnp.where(d_last < 0, -1.0, 1.0)
-    seed = jnp.where(
-        mag > 0, jnp.log(jnp.maximum(mag, 1e-300)) - alphas[t - 1], NEG_INF
-    )
+    # log(0) on the masked lanes yields -inf (not NaN) and the where
+    # selects NEG_INF there, so no clamp is needed.
+    seed = jnp.where(mag > 0, jnp.log(mag) - alphas[t - 1], NEG_INF)
     # Shifted emission / skip variants, precomputed so the kernel needs
     # no pads (position p+1 / p+2 operands at lane p).
     emit1 = jnp.pad(emit_g[:, :, 1:], ((0, 0), (0, 0), (0, 1)))

@@ -30,6 +30,10 @@ _CHANNELS_FIRST_MAX = 32
 def _fused_chain_mode() -> str | None:
     """Fused conv-chain policy — opt-in via ``OCRS_TPU_FUSED_CONV``.
 
+    NOTE: read at TRACE time. jit caches are keyed on arguments, not env
+    vars, so the flag must be set before the first compiled step of a
+    process; flipping it later silently keeps the already-compiled path.
+
     ``1``: run the split-BN Pallas chain (ops/pallas/conv_chain.py) on a
     single real TPU, with the previous block's BN+ReLU applied as the
     kernel prologue. ``xf``: same kernels but every BN+ReLU applied

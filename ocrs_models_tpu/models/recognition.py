@@ -52,7 +52,11 @@ class RecognitionModel(nn.Module):
             # traffic. nn.BatchNorm(dtype=f32) forced full f32 round trips
             # of the [N, H, W/2, 64..128] stage tensors — several hundred
             # MB per wide-bucket step. Parameter/batch-stats tree structure
-            # is identical, so checkpoints are unaffected.
+            # is identical, so checkpoints load unchanged; note the
+            # running-var UPDATE switched from flax's biased batch variance
+            # to torch-style unbiased (n/(n-1)) variance — torch parity by
+            # design, with O(1/n) eval-mode drift for batch_stats that were
+            # accumulated under the old module.
             mod = BatchNormLite(momentum=0.9, epsilon=1e-5, axis=-1, name=name)
             return lambda x: mod(x, use_running_average=not train)
 

@@ -52,7 +52,7 @@ class GRUCellScan(nn.Module):
     hidden: int
     compute_dtype: jnp.dtype = jnp.float32
     unroll: int = 4
-    backend: str = "auto"  # "auto" | "pallas2" | "pallas" | "scan"
+    backend: str = "auto"  # "auto" | "pallas3" | "pallas2" | "pallas" | "scan"
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
@@ -99,7 +99,12 @@ class GRUCellScan(nn.Module):
         b_hh = jnp.stack([bf_hh, bb_hh])  # [2, 3H] f32
 
         backend = _resolve_backend(self.backend)
-        if backend == "pallas2":
+        if backend == "pallas3":
+            from .pallas.gru_kernel3 import gru_recurrence3
+
+            interpret = jax.default_backend() != "tpu"
+            ys = gru_recurrence3(px, w_hh, b_hh, cdt, interpret)
+        elif backend == "pallas2":
             from .pallas.gru_kernel2 import gru_recurrence2
 
             interpret = jax.default_backend() != "tpu"

@@ -33,7 +33,6 @@ def main():
 
     import torch
 
-    import jax
     import jax.numpy as jnp
 
     from ocrs_models_tpu.export import (

@@ -72,8 +72,17 @@ def export_weights(state, path: str, model: str, epoch: int = 0, **model_kwargs)
             "layout": onnx_graph.build_layout_onnx,
         }[model]
         sd = exporter(variables)
+        data = builder(sd, **model_kwargs)
+        # Gate every emitted file on the independent spec checker
+        # (export/onnx_check.py) so a convention bug can never ship.
+        from ..export.onnx_check import check_bytes
+
+        check_bytes(data)
         with open(path, "wb") as f:
-            f.write(builder(sd, **model_kwargs))
-        print(f"Exported ONNX model to {path} (first-party emission, opset 16)")
+            f.write(data)
+        print(
+            f"Exported ONNX model to {path} "
+            "(first-party emission, opset 16, spec-checked)"
+        )
         return
     raise ValueError(f"Unknown export format for {path} (use .npz, .pt or .onnx)")

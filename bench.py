@@ -4,6 +4,10 @@ Default run covers all three tasks on realistic shapes (BASELINE.json
 configs 3-4; hiertext.py caps line crops at W<=800 which buckets to 1024):
 
 - detection train step, 800x608 bf16, batch 4 and 8 (img/sec/chip)
+- detection inference, 512x512 forward + postprocess-to-word-boxes
+  latency (BASELINE config #2)
+- recognition inference, single-crop forward + on-device greedy decode
+  latency (BASELINE config #1)
 - layout train step, 500 words, batch 64 (pages/sec/chip)
 - recognition train step, wide bucket W=1024 (T=257), batch 64
 - recognition mixed-bucket epoch (55% W=256 / 30% W=512 / 15% W=1024,
@@ -207,6 +211,86 @@ def bench_rec_headline(state, train_step):
     )
 
 
+def bench_rec_infer():
+    """BASELINE config #1: forward + on-device greedy CTC decode latency on
+    ONE greyscale text-line crop (W=256), inference numerics (f32 GRU like
+    the reference's fp32-pinned GRU island, models.py:264-266)."""
+    from ocrs_models_tpu.config import DEFAULT_ALPHABET
+    from ocrs_models_tpu.models import RecognitionModel
+    from ocrs_models_tpu.utils.text import ctc_greedy_decode_batch
+
+    model = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)))
+    crop = jax.device_put(
+        np.random.default_rng(0)
+        .uniform(-0.5, 0.5, (1, 64, 256, 1))
+        .astype(np.float32)
+    )
+
+    @jax.jit
+    def infer(v, x):
+        log_probs = model.apply(v, x, train=False)  # [1, T, C]
+        ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+        lengths = jnp.full((x.shape[0],), x.shape[2] // 4, jnp.int32)
+        return ctc_greedy_decode_batch(ids, lengths)
+
+    decoded, dec_len = infer(variables, crop)
+    int(dec_len[0])  # fence
+    iters = 50
+    start = time.perf_counter()
+    for _ in range(iters):
+        decoded, dec_len = infer(variables, crop)
+    int(dec_len[0])
+    elapsed = time.perf_counter() - start
+    _emit(
+        "recognition_infer_single_crop_ms",
+        elapsed / iters * 1e3,
+        "ms/crop (fwd + on-device greedy decode)",
+    )
+
+
+def bench_det_infer():
+    """BASELINE config #2: 512x512 detection forward + postprocess to word
+    boxes. Forward (+ device->host mask fetch) is timed on a synthetic page;
+    postprocess (threshold -> CC quads -> expand, the C++ geometry path) is
+    timed on that page's ground-truth mask so the box count is realistic
+    (an untrained model's mask content would be degenerate). One combined
+    ms/page line, components in the metric breakdown."""
+    from ocrs_models_tpu.data.synthetic import SyntheticDetection
+    from ocrs_models_tpu.geometry import expand_quads, extract_cc_quads
+    from ocrs_models_tpu.models import DetectionModel
+
+    model = DetectionModel()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+    ds = SyntheticDetection(size=1, page_size=(512, 512), seed=3)
+    sample = ds[0]
+    img = jax.device_put(sample["image"][None])
+
+    @jax.jit
+    def fwd(v, x):
+        return model.apply(v, x, train=False)
+
+    probs = np.asarray(fwd(variables, img))  # includes transfer
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        probs = np.asarray(fwd(variables, img))
+    t_fwd = (time.perf_counter() - start) / iters
+
+    mask = sample["mask"][..., 0] > 0.5
+    quads = expand_quads(extract_cc_quads(mask), dist=3.0)
+    start = time.perf_counter()
+    for _ in range(iters):
+        quads = expand_quads(extract_cc_quads(mask), dist=3.0)
+    t_post = (time.perf_counter() - start) / iters
+    _emit(
+        "detection_infer_512_ms_per_page",
+        (t_fwd + t_post) * 1e3,
+        f"ms/page (fwd+fetch {t_fwd*1e3:.1f} + postprocess {t_post*1e3:.1f}, "
+        f"{len(quads)} boxes)",
+    )
+
+
 def main():
     only = None
     if "--task" in sys.argv:
@@ -224,7 +308,9 @@ def main():
 
     guarded("det", bench_detection, 4)
     guarded("det", bench_detection, 8)
+    guarded("det_infer", bench_det_infer)
     guarded("layout", bench_layout)
+    guarded("rec_infer", bench_rec_infer)
 
     if only is None or "rec" in only:
         state, train_step = _make_rec()

@@ -83,6 +83,31 @@ class GRUCellScan(nn.Module):
         prec = None if fast else jax.lax.Precision.HIGHEST
 
         xs_c = xs.astype(cdt)
+        w_hh = jnp.stack([wf_hh, wb_hh])  # [2, H, 3H] f32
+        b_hh = jnp.stack([bf_hh, bb_hh])  # [2, 3H] f32
+
+        backend = _resolve_backend(self.backend)
+        if backend == "pallas4":
+            # Zero-relayout path: per-direction time-major projections in
+            # NATURAL time order (no reverse, no direction stack); the
+            # kernel's index maps realize the backward direction's
+            # reversal and write both outputs back in natural order.
+            from .pallas.gru_kernel4 import gru_recurrence4
+
+            px_f = jnp.einsum(
+                "ntf,fk->tnk", xs_c, wf_ih.astype(cdt), precision=prec,
+                preferred_element_type=jnp.float32,
+            ) + bf_ih
+            px_b = jnp.einsum(
+                "ntf,fk->tnk", xs_c, wb_ih.astype(cdt), precision=prec,
+                preferred_element_type=jnp.float32,
+            ) + bb_ih
+            interpret = jax.default_backend() != "tpu"
+            ys_f, ys_b = gru_recurrence4(px_f, px_b, w_hh, b_hh, cdt, interpret)
+            return jnp.concatenate(
+                [ys_f.transpose(1, 0, 2), ys_b.transpose(1, 0, 2)], axis=-1
+            )
+
         # Hoisted input projections: big MXU matmuls outside the recurrence.
         px_f = jnp.matmul(
             xs_c, wf_ih.astype(cdt), precision=prec,
@@ -95,10 +120,7 @@ class GRUCellScan(nn.Module):
 
         # Stack directions on a leading axis: [T, 2, N, 3H].
         px = jnp.stack([px_f, px_b], axis=0).transpose(2, 0, 1, 3)
-        w_hh = jnp.stack([wf_hh, wb_hh])  # [2, H, 3H] f32
-        b_hh = jnp.stack([bf_hh, bb_hh])  # [2, 3H] f32
 
-        backend = _resolve_backend(self.backend)
         if backend == "pallas3":
             from .pallas.gru_kernel3 import gru_recurrence3
 

@@ -112,6 +112,51 @@ class TestLayoutModelGrouping:
         lines = group_lines_from_layout_probs(boxes, probs)
         assert [m for _, m in lines] == [[0, 1], [2]]
 
+    def test_group_from_probs_leading_non_start(self):
+        # First word predicted non-start: it must still open a line (the
+        # grouping can never drop a word).
+        from ocrs_models_tpu.pipeline import group_lines_from_layout_probs
+
+        boxes = np.array([[0, 0, 10, 10], [20, 0, 30, 10]], np.float32)
+        probs = np.array([[0.1, 0.0], [0.1, 0.0]], np.float32)
+        lines = group_lines_from_layout_probs(boxes, probs)
+        assert [m for _, m in lines] == [[0, 1]]
+
+    def test_group_from_probs_empty(self):
+        from ocrs_models_tpu.pipeline import group_lines_from_layout_probs
+
+        lines = group_lines_from_layout_probs(
+            np.zeros((0, 4), np.float32), np.zeros((0, 2), np.float32)
+        )
+        assert lines == []
+
+    def test_layout_model_grouping_overflow_words(self):
+        """Words beyond the model's padded window become their own lines —
+        none are dropped."""
+        from ocrs_models_tpu.pipeline import OcrPipeline
+
+        pipe = OcrPipeline.__new__(OcrPipeline)
+        pipe.layout_pad_words = 4
+        pipe._layout_vars = {}
+        # Fake layout forward: everything a confident line start.
+        pipe._layout_fwd = lambda v, x: np.tile(
+            np.array([[1.0, 0.0]], np.float32), (1, x.shape[1], 1)
+        )
+        n = 6  # > pad_words
+        quads = np.stack(
+            [
+                np.array(
+                    [[i * 20, 0], [i * 20 + 10, 0], [i * 20 + 10, 10], [i * 20, 10]],
+                    np.float32,
+                )
+                for i in range(n)
+            ]
+        )
+        lines = pipe.group_lines_with_layout_model(quads)
+        members = sorted(m for _, ms in lines for m in ms)
+        assert members == list(range(n))
+        assert len(lines) == n  # 4 in-window starts + 2 overflow singletons
+
     def test_pipeline_layout_grouping_matches_oracle(self):
         """Wire-level test: with an oracle layout forward (perfect
         start/end probabilities), use_layout_model grouping reproduces the

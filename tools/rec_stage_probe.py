@@ -56,15 +56,15 @@ def _bn_train(x, gamma, beta, axis):
 
 
 def _pool_nhwc(x):
+    # -inf init (not finfo.min): reduce_window's max-pool VJP only
+    # pattern-matches the -inf form.
     return jax.lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
 def _pool_nchw(x):
     return jax.lax.reduce_window(
-        x, jnp.finfo(x.dtype).min,
-        jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+        x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
 
 
 def variant_a(params, x):  # x [N, 64, W, 1] NHWC

@@ -17,10 +17,40 @@ sharding than the reference's torch-RNN-legacy ``[T, N, C]``).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.gru import BiGRU
 from .detection import BatchNormLite
+
+
+class _Stage1Params(nn.Module):
+    """Owns conv0's parameters with nn.Conv's exact tree structure and
+    initializers ({kernel [3,3,1,C], bias [C]}, lecun_normal/zeros) so
+    checkpoints are interchangeable between the fused and XLA paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+def _resolve_conv_backend(backend: str) -> str:
+    """'auto' -> the fused stage-1 Pallas kernel on a single-device TPU
+    process, XLA elsewhere. Measured: stage 1 under XLA costs 8.7 ms
+    fwd+bwd of the 32 ms wide-bucket step vs ~1 ms fused (C_in=1 defeats
+    XLA's conv tiling; every XLA reformulation probed worse —
+    docs/rec_perf.md round 3)."""
+    if backend != "auto":
+        return backend
+    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+        return "fused"
+    return "xla"
 
 
 class RecognitionModel(nn.Module):
@@ -41,6 +71,9 @@ class RecognitionModel(nn.Module):
     # "auto" picks the Pallas fused-recurrence kernel on single-chip TPU
     # and lax.scan elsewhere; "pallas"/"scan" force a backend.
     gru_backend: str = "auto"
+    # Stage-1 conv backend: "auto" | "fused" | "xla" ("fused" uses the
+    # Pallas conv+relu+pool kernel; interpret mode off-TPU for tests).
+    conv_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -62,9 +95,18 @@ class RecognitionModel(nn.Module):
 
         p1 = ((1, 1), (1, 1))
         # Stage 1: 64xW -> 32 x W/2
-        x = nn.Conv(32, (3, 3), padding=p1, dtype=dt, name="conv0")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        n_, h_, w_, _ = x.shape
+        conv_backend = _resolve_conv_backend(self.conv_backend)
+        if conv_backend == "fused" and h_ % 2 == 0 and w_ % 2 == 0:
+            from ..ops.pallas.stage1_kernel import stage1_fused
+
+            kernel, bias = _Stage1Params(32, name="conv0")()
+            interpret = jax.default_backend() != "tpu"
+            x = stage1_fused(x, kernel, bias, interpret, dt)
+        else:
+            x = nn.Conv(32, (3, 3), padding=p1, dtype=dt, name="conv0")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # Stage 2: -> 16 x W/4
         x = nn.Conv(64, (3, 3), padding=p1, use_bias=False, dtype=dt, name="conv3")(x)
         x = nn.relu(bn("bn4")(x)).astype(dt)

@@ -97,7 +97,7 @@ class RecognitionModel(nn.Module):
         # Stage 1: 64xW -> 32 x W/2
         n_, h_, w_, _ = x.shape
         conv_backend = _resolve_conv_backend(self.conv_backend)
-        if conv_backend == "fused" and h_ % 2 == 0 and w_ % 2 == 0:
+        if conv_backend == "fused" and h_ % 16 == 0 and w_ % 2 == 0:
             from ..ops.pallas.stage1_kernel import stage1_fused
 
             kernel, bias = _Stage1Params(32, name="conv0")()

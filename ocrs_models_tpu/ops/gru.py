@@ -30,19 +30,19 @@ import jax.numpy as jnp
 
 
 def _resolve_backend(backend: str) -> str:
-    """'auto' -> 'pallas' on a single-device TPU process, else 'scan'.
+    """'auto' -> 'pallas4' on a single-device TPU process, else 'scan'.
 
     The Pallas path needs a per-device call; under multi-device GSPMD the
     recurrence stays on the scan path until it is wrapped in shard_map
     (single-chip is where the kernel-launch overhead matters most anyway).
-    'pallas' is the v1 one-step-per-grid kernel — measured fastest
-    (23.7 ms wide-bucket step vs 26.9 for the chunked direction-fused v2
-    'pallas2' and 32.3 for scan); v2 stays selectable for future tuning.
+    'pallas4' is the zero-relayout kernel — measured fastest (30.0 ms
+    wide-bucket step vs 32.2 for v1; v2/v3 chunking variants both lost,
+    docs/rec_perf.md round 3); v1/v2/v3 stay selectable for tuning.
     """
     if backend != "auto":
         return backend
     if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
-        return "pallas"
+        return "pallas4"
     return "scan"
 
 

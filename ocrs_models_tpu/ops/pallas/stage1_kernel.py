@@ -43,30 +43,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 DT = jnp.bfloat16
 
-# (slab, lane offset) per (parity q, dx tap): slab 0 = even phase, 1 = odd.
+# Slab index per (parity q, dx tap). The four slabs are the pre-shifted
+# phase views (E1, E2, O0, O1) materialized by the caller at lane offset
+# 0 — Mosaic cannot concatenate vectors whose sublane rows carry
+# different lane offsets, so the dx shifts happen in XLA, not in-kernel.
 _TAP_SRC = {
-    0: [(1, 0), (0, 1), (1, 1)],  # even output positions w = 2w'
-    1: [(0, 1), (1, 1), (0, 2)],  # odd output positions  w = 2w'+1
+    0: [2, 0, 3],  # even output positions w = 2w':  O0, E1, O1
+    1: [0, 3, 1],  # odd output positions  w = 2w'+1: E1, O1, E2
 }
 
 
-def _build_patches(e4, o4, wp, dt):
+def _build_patches(slabs4, wp, dt):
     """Patch matrix [10, 4*W'] for one pooled row.
 
-    :param e4/o4: [4, W'+2] phase slabs covering conv rows 2r-1..2r+2.
+    :param slabs4: four [4, W'] slab groups (E1, E2, O0, O1) covering conv
+        rows 2r-1..2r+2.
     :param wp: pooled width W'.
     Phase order (c, q) = (0,0),(0,1),(1,0),(1,1) — row-major within the
     2x2 window, matching select-and-scatter's first-max scan order.
     """
-    slabs = (e4, o4)
     phases = []
     for c in (0, 1):
         for q in (0, 1):
             rows = []
             for dy in range(3):
                 for dx in range(3):
-                    s, j0 = slabs[_TAP_SRC[q][dx][0]], _TAP_SRC[q][dx][1]
-                    rows.append(s[c + dy : c + dy + 1, j0 : j0 + wp])
+                    s = slabs4[_TAP_SRC[q][dx]]
+                    rows.append(s[c + dy : c + dy + 1, :])
             rows.append(jnp.ones((1, wp), dt))
             phases.append(jnp.concatenate(rows, axis=0))  # [10, W']
     return jnp.concatenate(phases, axis=1)  # [10, 4W']
@@ -84,22 +87,35 @@ def _pool4(r4, wp):
     return jnp.maximum(m01, m23)
 
 
-def _fwd_kernel(e_ref, o_ref, w_ref, out_ref, *, hp, wp, dt):
+def _fwd_kernel(e1_ref, e2_ref, o0_ref, o1_ref, w_ref, out_ref, *, hp, wp, dt):
+    # Mosaic constraints shape this loop: dynamic SUBLANE indices must be
+    # provable multiples of 8, so input rows load in aligned 24-row groups
+    # (start 16g) with static in-group slicing; the output's pooled-row
+    # axis is a LEADING (non-tiled) dim of the [1, hp, C, W'] block, so
+    # per-row dynamic stores need no alignment and no shape cast.
     w_bf = w_ref[...].astype(dt)  # [C, 10]
 
-    def body(r, _):
-        e4 = e_ref[0, pl.ds(2 * r, 4), :]
-        o4 = o_ref[0, pl.ds(2 * r, 4), :]
-        patches = _build_patches(e4, o4, wp, dt)  # [10, 4W']
-        y4 = _dot(w_bf, patches)  # [C, 4W'] f32
-        m = _pool4(jnp.maximum(y4, 0.0), wp)
-        out_ref[0, :, pl.ds(r, 1), :] = m.astype(out_ref.dtype)[:, None, :]
+    def body(g, _):
+        g24 = [
+            r[0, pl.ds(16 * g, 24), :]
+            for r in (e1_ref, e2_ref, o0_ref, o1_ref)
+        ]
+        for rl in range(8):
+            slabs4 = [a[2 * rl : 2 * rl + 4] for a in g24]
+            patches = _build_patches(slabs4, wp, dt)  # [10, 4W']
+            y4 = _dot(w_bf, patches)  # [C, 4W'] f32
+            m = _pool4(jnp.maximum(y4, 0.0), wp)
+            out_ref[0, pl.ds(8 * g + rl, 1), :, :] = m.astype(out_ref.dtype)[
+                None
+            ]
         return 0
 
-    jax.lax.fori_loop(0, hp, body, 0)
+    jax.lax.fori_loop(0, hp // 8, body, 0)
 
 
-def _bwd_kernel(e_ref, o_ref, w_ref, dy_ref, dw_ref, dw_s, *, hp, wp, dt):
+def _bwd_kernel(
+    e1_ref, e2_ref, o0_ref, o1_ref, w_ref, dy_ref, dw_ref, dw_s, *, hp, wp, dt
+):
     n = pl.program_id(0)
 
     @pl.when(n == 0)
@@ -108,31 +124,37 @@ def _bwd_kernel(e_ref, o_ref, w_ref, dy_ref, dw_ref, dw_s, *, hp, wp, dt):
 
     w_bf = w_ref[...].astype(dt)
 
-    def body(r, _):
-        e4 = e_ref[0, pl.ds(2 * r, 4), :]
-        o4 = o_ref[0, pl.ds(2 * r, 4), :]
-        patches = _build_patches(e4, o4, wp, dt)
-        y4 = _dot(w_bf, patches)  # [C, 4W'] f32
-        r4 = jnp.maximum(y4, 0.0)
-        m = _pool4(r4, wp)
-        dy = dy_ref[0, :, pl.ds(r, 1), :].astype(jnp.float32)[:, 0, :]  # [C, W']
+    def body(g, _):
+        g24 = [
+            r[0, pl.ds(16 * g, 24), :]
+            for r in (e1_ref, e2_ref, o0_ref, o1_ref)
+        ]
+        dy8 = dy_ref[0, pl.ds(8 * g, 8), :, :].astype(jnp.float32)  # [8,C,W']
+        for rl in range(8):
+            slabs4 = [a[2 * rl : 2 * rl + 4] for a in g24]
+            patches = _build_patches(slabs4, wp, dt)
+            y4 = _dot(w_bf, patches)  # [C, 4W'] f32
+            r4 = jnp.maximum(y4, 0.0)
+            m = _pool4(r4, wp)
+            dy = dy8[rl]  # [C, W']
 
-        # First-max tie-break in phase order + ReLU gate (grad 0 at y==0).
-        taken = jnp.zeros_like(m)
-        parts = []
-        for p in range(4):
-            seg = slice(p * wp, (p + 1) * wp)
-            eq = jnp.where(r4[:, seg] == m, 1.0, 0.0) * (1.0 - taken)
-            taken = taken + eq
-            gate = jnp.where(y4[:, seg] > 0.0, 1.0, 0.0)
-            parts.append(dy * eq * gate)
-        d4 = jnp.concatenate(parts, axis=1)  # [C, 4W'] f32
-        dw_s[...] += _dot(
-            d4.astype(dt), patches, contract=((1,), (1,))
-        )  # [C, 10]
+            # First-max tie-break in phase order + ReLU gate (grad 0 at
+            # y==0).
+            taken = jnp.zeros_like(m)
+            parts = []
+            for p in range(4):
+                seg = slice(p * wp, (p + 1) * wp)
+                eq = jnp.where(r4[:, seg] == m, 1.0, 0.0) * (1.0 - taken)
+                taken = taken + eq
+                gate = jnp.where(y4[:, seg] > 0.0, 1.0, 0.0)
+                parts.append(dy * eq * gate)
+            d4 = jnp.concatenate(parts, axis=1)  # [C, 4W'] f32
+            dw_s[...] += _dot(
+                d4.astype(dt), patches, contract=((1,), (1,))
+            )  # [C, 10]
         return 0
 
-    jax.lax.fori_loop(0, hp, body, 0)
+    jax.lax.fori_loop(0, hp // 8, body, 0)
 
     @pl.when(n == pl.num_programs(0) - 1)
     def _():
@@ -140,12 +162,23 @@ def _bwd_kernel(e_ref, o_ref, w_ref, dy_ref, dw_ref, dw_s, *, hp, wp, dt):
 
 
 def _prep(x, kernel, bias, dt):
-    """x [N, H, W, 1] -> phase slabs E/O [N, H+2, W/2+2] in ``dt`` and the
-    [C, 10] tap+bias weight matrix (tap order dy*3+dx)."""
+    """x [N, H, W, 1] -> four pre-shifted phase slabs (E1, E2, O0, O1),
+    each [N, H+8, W/2] in ``dt``, and the [C, 10] tap+bias weight matrix
+    (tap order dy*3+dx). The dx shifts are materialized HERE (XLA) because
+    Mosaic cannot concat in-kernel slices with mismatched lane offsets."""
     xb = x[..., 0].astype(dt)
-    pad = ((0, 0), (1, 1), (1, 1))
+    wp = xb.shape[2] // 2
+    # Rows padded to h+8 (top 1, bottom 7): the kernel's aligned 24-row
+    # group loads (start 16g, g < h/16) then end at h+8 exactly.
+    pad = ((0, 0), (1, 7), (1, 1))
     e = jnp.pad(xb[:, :, 0::2], pad)
     o = jnp.pad(xb[:, :, 1::2], pad)
+    slabs = (
+        e[:, :, 1 : 1 + wp],   # E1: x_even[w']
+        e[:, :, 2 : 2 + wp],   # E2: x_even[w'+1]
+        o[:, :, 0:wp],         # O0: x_odd[w'-1]
+        o[:, :, 1 : 1 + wp],   # O1: x_odd[w']
+    )
     c = kernel.shape[-1]
     w10 = jnp.concatenate(
         [
@@ -154,49 +187,53 @@ def _prep(x, kernel, bias, dt):
         ],
         axis=1,
     )  # [C, 10]
-    return e, o, w10
+    return slabs, w10
 
 
 def _fwd_call(x, kernel, bias, *, interpret, dt=DT):
     n, h, w, _ = x.shape
     c = kernel.shape[-1]
     hp, wp = h // 2, w // 2
-    e, o, w10 = _prep(x, kernel, bias, dt)
+    slabs, w10 = _prep(x, kernel, bias, dt)
     y_cf = pl.pallas_call(
         functools.partial(_fwd_kernel, hp=hp, wp=wp, dt=dt),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, h + 2, wp + 2), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, h + 2, wp + 2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h + 8, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h + 8, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h + 8, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h + 8, wp), lambda i: (i, 0, 0)),
             pl.BlockSpec((c, 10), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), dt),
+        out_specs=pl.BlockSpec((1, hp, c, wp), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hp, c, wp), dt),
         interpret=interpret,
-    )(e, o, w10)
-    return y_cf.transpose(0, 2, 3, 1)  # NHWC [N, H/2, W/2, C]
+    )(*slabs, w10)
+    return y_cf.transpose(0, 1, 3, 2)  # NHWC [N, H/2, W/2, C]
 
 
 def _bwd_call(x, kernel, bias, dy_nhwc, *, interpret, dt=DT):
     n, h, w, _ = x.shape
     c = kernel.shape[-1]
     hp, wp = h // 2, w // 2
-    e, o, w10 = _prep(x, kernel, bias, dt)
-    dy_cf = dy_nhwc.transpose(0, 3, 1, 2)  # [N, C, H/2, W/2]
+    slabs, w10 = _prep(x, kernel, bias, dt)
+    dy_cf = dy_nhwc.transpose(0, 1, 3, 2)  # [N, H/2, C, W']
     dw10 = pl.pallas_call(
         functools.partial(_bwd_kernel, hp=hp, wp=wp, dt=dt),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, h + 2, wp + 2), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, h + 2, wp + 2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h + 8, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h + 8, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h + 8, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h + 8, wp), lambda i: (i, 0, 0)),
             pl.BlockSpec((c, 10), lambda i: (0, 0)),
-            pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hp, c, wp), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((c, 10), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((c, 10), jnp.float32),
         scratch_shapes=[pltpu.VMEM((c, 10), jnp.float32)],
         interpret=interpret,
-    )(e, o, w10, dy_cf)
+    )(*slabs, w10, dy_cf)
     dkernel = dw10[:, :9].T.reshape(3, 3, 1, c).astype(kernel.dtype)
     dbias = dw10[:, 9].astype(bias.dtype)
     return dkernel, dbias

@@ -56,7 +56,7 @@ def make_recognition_steps(model, downsample: int = 4, mesh=None, axis: str = "d
     ):
         # Inside shard_map the recurrence is a per-device call, so the
         # Pallas kernel applies even though the global device count is > 1.
-        model = model.clone(gru_backend="pallas")
+        model = model.clone(gru_backend="pallas4")
 
     def local_parts(params, batch_stats, batch, train):
         """Per-shard (loss numerator, denominator, preds, stats) with NO

@@ -13,7 +13,7 @@ from ocrs_models_tpu.ops.pallas.stage1_kernel import (
 )
 
 
-def _case(n=2, h=8, w=16, c=32, seed=0):
+def _case(n=2, h=16, w=16, c=32, seed=0):
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.uniform(-0.5, 0.5, (n, h, w, 1)).astype(np.float32))
     k = jnp.asarray(rng.normal(0, 0.3, (3, 3, 1, c)).astype(np.float32))
@@ -21,7 +21,7 @@ def _case(n=2, h=8, w=16, c=32, seed=0):
     return x, k, b
 
 
-@pytest.mark.parametrize("shape", [(2, 8, 16), (1, 4, 8), (3, 6, 12)])
+@pytest.mark.parametrize("shape", [(2, 16, 16), (1, 16, 8), (3, 32, 12)])
 def test_forward_matches_reference_f32(shape):
     n, h, w = shape
     x, k, b = _case(n, h, w)

@@ -39,6 +39,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 if "/root/reference" not in sys.path:
     sys.path.append("/root/reference")
 
+if os.environ.get("OCRS_PARITY_CPU"):
+    # Force the flax side onto CPU (e.g. while the TPU is busy); must run
+    # before any jax backend initialization.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from ocrs_models_tpu.config import DEFAULT_ALPHABET  # noqa: E402
 from ocrs_models_tpu.data.collate import collate_detection, collate_recognition  # noqa: E402
 from ocrs_models_tpu.data.synthetic import SyntheticDetection, SyntheticRecognition  # noqa: E402
@@ -453,11 +460,201 @@ def run_det(out_dir: str, epochs: int, report: dict) -> None:
     }
 
 
+# ----------------------------- layout task --------------------------------
+
+LAY_BATCH = 8
+
+
+def layout_batches(n_train: int, n_val: int, epochs: int, n_words: int = 100):
+    from ocrs_models_tpu.data import SyntheticLayout
+    from ocrs_models_tpu.data.collate import collate_layout
+
+    ds = SyntheticLayout(size=n_train + n_val, n_words=n_words, seed=7)
+    samples = [ds[i] for i in range(len(ds))]
+    train, val = samples[:n_train], samples[n_train:]
+
+    def batches(items):
+        return [
+            collate_layout(items[i : i + LAY_BATCH])
+            for i in range(0, len(items) - LAY_BATCH + 1, LAY_BATCH)
+        ]
+
+    epoch_batches = []
+    for e in range(epochs):
+        perm = np.random.default_rng(SEED + e).permutation(len(train))
+        epoch_batches.append(batches([train[i] for i in perm]))
+    return epoch_batches, batches(val)
+
+
+def _layout_stats(probs_list, targets_list) -> dict:
+    from ocrs_models_tpu.utils.metrics import LayoutAccuracyStats
+
+    stats = LayoutAccuracyStats()
+    for p, t in zip(probs_list, targets_list):
+        stats.update(p, t)
+    return stats.stats_dict()
+
+
+def torch_layout_train(epoch_batches, out_ckpt: str) -> None:
+    """Reference recipe (train_layout.py:94-97, 174-183, 223-224): BCE
+    pos_weight 10, Adam 3e-4, 50-epoch linear warmup. The model is fed
+    WORD-FIRST input so its seq-first TransformerEncoder attends over the
+    words of each page (the semantics both frameworks score; batch-first
+    feeding would hit the reference's latent cross-batch-attention bug,
+    models.py:385-401)."""
+    import torch
+    from ocrs_models.models import LayoutModel as TorchLayout
+
+    torch.manual_seed(SEED)
+    model = TorchLayout()
+    opt = torch.optim.Adam(model.parameters(), lr=3e-4)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda e: min(1.0, (e + 1) / 50)
+    )
+    loss_fn = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor([10.0, 10.0]))
+    t0 = time.time()
+    for e, batches in enumerate(epoch_batches):
+        model.train()
+        losses = []
+        for b in batches:
+            keep = b["sample_weight"] > 0
+            boxes = torch.tensor(b["boxes"][keep].transpose(1, 0, 2))
+            labels = torch.tensor(b["labels"][keep])
+            pred = model(boxes).transpose(0, 1)  # back to [N, W, 2]
+            loss = loss_fn(pred, labels)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            losses.append(loss.item())
+        sched.step()
+        print(
+            f"[torch layout] epoch {e}: loss {np.mean(losses):.4f} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    torch.save(
+        {"epoch": len(epoch_batches), "model_state": model.state_dict()}, out_ckpt
+    )
+
+
+def torch_layout_probs(sd, val) -> tuple[list, list]:
+    import torch
+    from ocrs_models.models import LayoutModel as TorchLayout
+
+    model = TorchLayout()
+    model.load_state_dict(sd)
+    model.eval()
+    probs, targets = [], []
+    with torch.no_grad():
+        for b in val:
+            keep = b["sample_weight"] > 0
+            boxes = torch.tensor(b["boxes"][keep].transpose(1, 0, 2))
+            p = torch.sigmoid(model(boxes)).numpy().transpose(1, 0, 2)
+            probs.append(p)
+            targets.append(b["labels"][keep])
+    return probs, targets
+
+
+def flax_layout_probs_from_ckpt(ckpt_path: str, val) -> tuple[list, list]:
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ocrs_models_tpu.export import import_layout_state_dict
+    from ocrs_models_tpu.models import LayoutModel
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)["model_state"]
+    variables = import_layout_state_dict(sd)
+    model = LayoutModel()
+    probs, targets = [], []
+    for b in val:
+        keep = b["sample_weight"] > 0
+        logits = model.apply(variables, jnp.asarray(b["boxes"][keep]), train=False)
+        probs.append(np.asarray(jax.nn.sigmoid(logits)))
+        targets.append(b["labels"][keep])
+    return probs, targets
+
+
+def flax_layout_train(epoch_batches, out_pt: str) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ocrs_models_tpu.models import LayoutModel
+    from ocrs_models_tpu.training.export_utils import export_weights
+    from ocrs_models_tpu.training.state import create_train_state
+    from ocrs_models_tpu.training.steps import make_layout_steps
+
+    model = LayoutModel()
+    state = create_train_state(model, jax.random.key(SEED), jnp.zeros((1, 32, 4)))
+    train_step, _ = make_layout_steps(model)
+    key = jax.random.key(SEED + 1)
+    t0 = time.time()
+    for e, batches in enumerate(epoch_batches):
+        lr = jnp.float32(3e-4 * min(1.0, (e + 1) / 50))
+        losses = []
+        for b in batches:
+            key, sub = jax.random.split(key)
+            arrs = {
+                k: jnp.asarray(v) for k, v in b.items() if isinstance(v, np.ndarray)
+            }
+            state, m = train_step(state, arrs, lr, sub)
+            losses.append(float(m["loss"]))
+        print(
+            f"[flax layout] epoch {e}: loss {np.mean(losses):.4f} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    export_weights(state, out_pt, "layout")
+
+
+def run_layout(out_dir: str, epochs: int, report: dict) -> None:
+    import torch
+
+    train_eps, val = layout_batches(n_train=192, n_val=48, epochs=epochs)
+    ref_ckpt = os.path.join(out_dir, "ref_layout.pt")
+    ours_ckpt = os.path.join(out_dir, "ours_layout.pt")
+
+    if not os.path.exists(ref_ckpt):
+        torch_layout_train(train_eps, ref_ckpt)
+    sd = torch.load(ref_ckpt, map_location="cpu", weights_only=True)["model_state"]
+    t_probs, targets = torch_layout_probs(sd, val)
+    f_probs, _ = flax_layout_probs_from_ckpt(ref_ckpt, val)
+    tm = _layout_stats(t_probs, targets)
+    fm = _layout_stats(f_probs, targets)
+    deltas = {k: abs(tm[k] - fm[k]) for k in tm}
+    report["layout_torch_trained"] = {
+        "torch": tm,
+        "flax": fm,
+        "max_metric_delta": max(deltas.values()),
+        "max_abs_prob_delta": float(
+            max(np.abs(a - b).max() for a, b in zip(t_probs, f_probs))
+        ),
+    }
+
+    if not os.path.exists(ours_ckpt):
+        flax_layout_train(train_eps, ours_ckpt)
+    t_probs2, targets2 = torch_layout_probs(
+        torch.load(ours_ckpt, map_location="cpu", weights_only=True)["model_state"],
+        val,
+    )
+    f_probs2, _ = flax_layout_probs_from_ckpt(ours_ckpt, val)
+    tm2 = _layout_stats(t_probs2, targets2)
+    fm2 = _layout_stats(f_probs2, targets2)
+    deltas2 = {k: abs(tm2[k] - fm2[k]) for k in tm2}
+    report["layout_flax_trained"] = {
+        "flax": fm2,
+        "torch": tm2,
+        "max_metric_delta": max(deltas2.values()),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["rec", "det", "all"], default="all")
+    ap.add_argument("--task", choices=["rec", "det", "layout", "all"], default="all")
     ap.add_argument("--rec-epochs", type=int, default=10)
     ap.add_argument("--det-epochs", type=int, default=8)
+    ap.add_argument("--layout-epochs", type=int, default=30)
     ap.add_argument("--out", default="parity_runs")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -473,6 +670,13 @@ def main():
             "batch": DET_BATCH,
             "page": list(DET_PAGE),
         },
+        "layout": {
+            "n_train": 192,
+            "n_val": 48,
+            "epochs": args.layout_epochs,
+            "batch": LAY_BATCH,
+            "n_words": 100,
+        },
         "gate": "CER and detection precision/recall deltas <= 0.01 (1%) on "
         "identical weights evaluated by both frameworks",
     }
@@ -481,8 +685,13 @@ def main():
         run_rec(args.out, args.rec_epochs, report)
     if args.task in ("det", "all"):
         run_det(args.out, args.det_epochs, report)
+    if args.task in ("layout", "all"):
+        run_layout(args.out, args.layout_epochs, report)
 
     gates = []
+    if "layout_torch_trained" in report:
+        gates.append(report["layout_torch_trained"]["max_metric_delta"] <= 0.01)
+        gates.append(report["layout_flax_trained"]["max_metric_delta"] <= 0.01)
     if "rec_torch_trained" in report:
         gates.append(report["rec_torch_trained"]["cer_delta"] <= 0.01)
         gates.append(report["rec_flax_trained"]["cer_delta"] <= 0.01)

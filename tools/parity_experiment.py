@@ -155,12 +155,45 @@ def torch_balanced_bce(pred, target):
     return torch.cat([top_pos, top_neg]).mean()
 
 
-def torch_rec_train(epoch_batches, val, out_ckpt: str, lr: float = 1e-3) -> dict:
+def torch_rec_train(
+    epoch_batches, val, out_ckpt: str, lr: float = 1e-3, oracle_init: str = "flax"
+) -> dict:
+    """Train the reference model on the shared stream.
+
+    ``oracle_init="flax"`` seeds the torch model with the Flax init
+    (lecun-normal convs) exported through the checkpoint path. Round-3
+    diagnosis (tools/parity_diag*.py): with identical weights the two
+    frameworks' loss and per-group grad norms match to 1e-4, but CTC
+    training from torch's default kaiming-uniform init lands in the
+    blank-collapse basin on this stream (CER 0.47/0.95 across seeds;
+    plateau-LR never fires because train loss keeps falling), while the
+    SAME recipe from the lecun-normal init converges. The init transplant
+    makes the oracle converge so the cross-framework gate is evaluated on
+    a trained model; ``oracle_init="torch"`` keeps the reference's own
+    init for reproducing the divergence."""
     import torch
     from ocrs_models.models import RecognitionModel as TorchRec
 
     torch.manual_seed(SEED)
     model = TorchRec(alphabet=DEFAULT_ALPHABET)
+    if oracle_init == "flax":
+        import jax
+        import jax.numpy as jnp
+
+        from ocrs_models_tpu.export.torch_export import (
+            export_recognition_state_dict,
+        )
+        from ocrs_models_tpu.models import RecognitionModel as FlaxRec
+
+        fm = FlaxRec(n_classes=len(DEFAULT_ALPHABET) + 1)
+        variables = fm.init(jax.random.key(SEED), jnp.zeros((1, 64, 64, 1)))
+        sd_np = export_recognition_state_dict(
+            {k: jax.tree.map(np.asarray, v) for k, v in variables.items()}
+        )
+        model.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()},
+            strict=False,
+        )
     opt = torch.optim.Adam(model.parameters(), lr=lr)
     ctc = torch.nn.CTCLoss()
 
@@ -369,13 +402,16 @@ def flax_det_train(epoch_batches, out_pt: str) -> None:
 # --------------------------------------------------------------------------
 
 
-def run_rec(out_dir: str, epochs: int, report: dict) -> None:
-    train_eps, val = rec_batches(n_train=768, n_val=128, epochs=epochs)
+def run_rec(
+    out_dir: str, epochs: int, report: dict, n_train: int = 2048,
+    oracle_init: str = "flax",
+) -> None:
+    train_eps, val = rec_batches(n_train=n_train, n_val=256, epochs=epochs)
     ref_ckpt = os.path.join(out_dir, "ref_rec.pt")
     ours_ckpt = os.path.join(out_dir, "ours_rec.pt")
 
     if not os.path.exists(ref_ckpt):
-        res = torch_rec_train(train_eps, val, ref_ckpt)
+        res = torch_rec_train(train_eps, val, ref_ckpt, oracle_init=oracle_init)
         json.dump(res, open(ref_ckpt + ".json", "w"))
     torch_cer = json.load(open(ref_ckpt + ".json"))["cer"]
 
@@ -652,7 +688,9 @@ def run_layout(out_dir: str, epochs: int, report: dict) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=["rec", "det", "layout", "all"], default="all")
-    ap.add_argument("--rec-epochs", type=int, default=10)
+    ap.add_argument("--rec-epochs", type=int, default=12)
+    ap.add_argument("--rec-train", type=int, default=2048)
+    ap.add_argument("--oracle-init", choices=["flax", "torch"], default="flax")
     ap.add_argument("--det-epochs", type=int, default=8)
     ap.add_argument("--layout-epochs", type=int, default=30)
     ap.add_argument("--out", default="parity_runs")
@@ -662,7 +700,12 @@ def main():
     report_path = "PARITY.json"
     report = json.load(open(report_path)) if os.path.exists(report_path) else {}
     report["config"] = {
-        "rec": {"n_train": 768, "n_val": 128, "epochs": args.rec_epochs, "batch": REC_BATCH},
+        "rec": {
+            "n_train": args.rec_train,
+            "n_val": 256,
+            "epochs": args.rec_epochs,
+            "batch": REC_BATCH,
+        },
         "det": {
             "n_train": 48,
             "n_val": 16,
@@ -681,8 +724,29 @@ def main():
         "identical weights evaluated by both frameworks",
     }
 
+    report["notes"] = {
+        "oracle_init": args.oracle_init,
+        "rec_oracle_diagnosis": (
+            "Round-3 diagnosis of the round-2 undertrained oracle "
+            "(tools/parity_diag.py, parity_diag2.py): (1) same-weights "
+            "single-batch loss delta 8e-5 and per-group grad-norm deltas "
+            "<1e-3 — the cross-framework harness is exact; (2) torch's "
+            "default kaiming-uniform init lands CTC training in the "
+            "blank-collapse basin on this stream (CER 0.47 seed 1234, "
+            "0.95 seed 7; ReduceLROnPlateau never fires - train loss "
+            "keeps falling); (3) flax-from-torch-init degrades to CER "
+            "0.134 and torch-from-flax-init trains to loss 0.07, i.e. "
+            "the divergence is init-basin sensitivity of CTC training, "
+            "not framework dynamics. The oracle therefore trains from "
+            "the flax (lecun-normal) init on an enlarged corpus so the "
+            "parity gate is evaluated on a CONVERGED model."
+        ),
+    }
     if args.task in ("rec", "all"):
-        run_rec(args.out, args.rec_epochs, report)
+        run_rec(
+            args.out, args.rec_epochs, report, n_train=args.rec_train,
+            oracle_init=args.oracle_init,
+        )
     if args.task in ("det", "all"):
         run_det(args.out, args.det_epochs, report)
     if args.task in ("layout", "all"):

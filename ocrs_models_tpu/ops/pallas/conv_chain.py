@@ -50,8 +50,10 @@ validated against XLA autodiff of the pure-JAX reference.
 
 Measured outcome and construct-by-construct Mosaic findings:
 docs/det_perf.md — the pair is correct and compiles at every production
-geometry but stays opt-in (``OCRS_TPU_FUSED_CONV``) because XLA's fused
-9-shift formulation wins at the detection U-Net's C<=32.
+geometry but is RETIRED as a performance path: refuted at the detection
+U-Net's C<=32 (round 2) and at the recognition stack's C>=64 (round 3,
+2.4-3x slower than XLA's dense conv fwd+bwd at every supported shape).
+Kept behind ``OCRS_TPU_FUSED_CONV`` as the split-BN protocol exemplar.
 """
 
 from __future__ import annotations

@@ -142,18 +142,24 @@ def bench_layout():
 
 def bench_rec_wide(state, train_step):
     """W=1024 bucket (the hiertext.py W<=800 cap rounds up to 1024; T=257).
-    Batch 128 is the measured throughput optimum (3756 vs 2700 crops/s at
-    64, regressing again by 192 — docs/det_perf.md round-2 notes)."""
+    Batch 128 is the measured throughput optimum (re-swept round 3 with
+    the fused kernels: 144/160/192 all regress — docs/rec_perf.md).
+    Steady-state throughput: best of three 15-iter windows (the axon
+    tunnel occasionally injects multi-ms stalls into a single window)."""
     batch = _rec_batch(128, 1024, max_chars=48)
     lr = jnp.float32(1e-3)
-    state, m = train_step(state, batch, lr)
-    float(m["loss"])
-    iters = 30
-    start = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(3):
         state, m = train_step(state, batch, lr)
     float(m["loss"])
-    elapsed = time.perf_counter() - start
+    iters = 15
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        for _ in range(iters):
+            state, m = train_step(state, batch, lr)
+        float(m["loss"])
+        best = min(best, time.perf_counter() - start)
+    elapsed = best
     crops = 128 * iters / elapsed
     _emit(
         "recognition_train_wide_w1024_crops_per_sec_per_chip",

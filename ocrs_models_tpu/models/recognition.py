@@ -109,20 +109,22 @@ class RecognitionModel(nn.Module):
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # Stage 2: -> 16 x W/4
         x = nn.Conv(64, (3, 3), padding=p1, use_bias=False, dtype=dt, name="conv3")(x)
-        x = nn.relu(bn("bn4")(x)).astype(dt)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # Pool BEFORE relu (bit-identical: max-pool commutes with the
+        # monotone relu) so the activation pass touches 4x fewer bytes.
+        x = nn.max_pool(bn("bn4")(x).astype(dt), (2, 2), strides=(2, 2))
+        x = nn.relu(x)
         # Stage 3: -> 8 x W/4
         x = nn.Conv(128, (3, 3), padding=p1, dtype=dt, name="conv7")(x)
         x = nn.relu(x)
         x = nn.Conv(128, (3, 3), padding=p1, use_bias=False, dtype=dt, name="conv9")(x)
-        x = nn.relu(bn("bn10")(x)).astype(dt)
-        x = nn.max_pool(x, (2, 1), strides=(2, 1))
+        x = nn.max_pool(bn("bn10")(x).astype(dt), (2, 1), strides=(2, 1))
+        x = nn.relu(x)
         # Stage 4: -> 4 x W/4
         x = nn.Conv(128, (3, 3), padding=p1, dtype=dt, name="conv13")(x)
         x = nn.relu(x)
         x = nn.Conv(128, (3, 3), padding=p1, use_bias=False, dtype=dt, name="conv15")(x)
-        x = nn.relu(bn("bn16")(x)).astype(dt)
-        x = nn.max_pool(x, (2, 1), strides=(2, 1))
+        x = nn.max_pool(bn("bn16")(x).astype(dt), (2, 1), strides=(2, 1))
+        x = nn.relu(x)
         # Stage 5: 2x2 conv with pad 1 -> 5 x (W/4 + 1), then avg-pool height
         x = nn.Conv(128, (2, 2), padding=p1, use_bias=False, dtype=dt, name="conv19")(x)
         x = bn("bn20")(x).astype(dt)

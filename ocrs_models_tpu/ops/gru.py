@@ -52,7 +52,7 @@ class GRUCellScan(nn.Module):
     hidden: int
     compute_dtype: jnp.dtype = jnp.float32
     unroll: int = 4
-    backend: str = "auto"  # "auto" | "pallas3" | "pallas2" | "pallas" | "scan"
+    backend: str = "auto"  # "auto"|"pallas4"|"pallas3"|"pallas2"|"pallas"|"scan"
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
@@ -94,14 +94,18 @@ class GRUCellScan(nn.Module):
             # reversal and write both outputs back in natural order.
             from .pallas.gru_kernel4 import gru_recurrence4
 
-            px_f = jnp.einsum(
+            # bf16 training: stream px/ys through HBM in bf16 (the 400 MB
+            # px+ys round trip halves; gate math stays f32 in-kernel).
+            # f32 compute keeps f32 io for checkpoint-parity numerics.
+            io_dt = jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
+            px_f = (jnp.einsum(
                 "ntf,fk->tnk", xs_c, wf_ih.astype(cdt), precision=prec,
                 preferred_element_type=jnp.float32,
-            ) + bf_ih
-            px_b = jnp.einsum(
+            ) + bf_ih).astype(io_dt)
+            px_b = (jnp.einsum(
                 "ntf,fk->tnk", xs_c, wb_ih.astype(cdt), precision=prec,
                 preferred_element_type=jnp.float32,
-            ) + bb_ih
+            ) + bb_ih).astype(io_dt)
             interpret = jax.default_backend() != "tpu"
             ys_f, ys_b = gru_recurrence4(px_f, px_b, w_hh, b_hh, cdt, interpret)
             return jnp.concatenate(

@@ -24,8 +24,9 @@ into the projection matmul's output by XLA where possible) and NO stack,
 NO reverse, NO output un-reverse.
 
 Contract:
-    px_f, px_b: [T, N, 3H] f32 — x @ W_ih + b_ih per direction, both in
-        natural time order
+    px_f, px_b: [T, N, 3H] — x @ W_ih + b_ih per direction, both in
+        natural time order; f32 or bf16 (the io dtype propagates to the
+        ys outputs and dpx cotangents; gate math is always f32)
     w_hh: [2, H, 3H] f32 (torch gate order r, z, n; dir 0 = forward)
     b_hh: [2, 3H] f32
     returns (ys_f, ys_b): [T, N, H] f32, both in natural time order
@@ -77,7 +78,7 @@ def _fwd_kernel(pxf_ref, pxb_ref, w_ref, b_ref, ysf_ref, ysb_ref, h_s,
         ph = _dot(h, w_ref[d], compute_dtype) + b_ref[d][None, :].astype(jnp.float32)
         _, _, _, new_h, _ = _gates1(px_ref[0].astype(jnp.float32), ph, h)
         h_s[d] = new_h
-        ys_ref[0] = new_h
+        ys_ref[0] = new_h.astype(ys_ref.dtype)
 
 
 def _bwd_kernel(
@@ -103,7 +104,7 @@ def _bwd_kernel(
         (pxb_ref, ysbp1_ref, dyb_ref, dpxb_ref),
     )):
         # h_prev in scan order: clamped index map + mask at the boundary.
-        h_prev = jnp.where(is_first, 0.0, ysm1_ref[0])
+        h_prev = jnp.where(is_first, 0.0, ysm1_ref[0].astype(jnp.float32))
         ph = _dot(h_prev, w_ref[d], compute_dtype) + b_ref[d][None, :].astype(
             jnp.float32
         )
@@ -120,7 +121,9 @@ def _bwd_kernel(
         da_r = dr * r * (1.0 - r)
 
         dph = jnp.concatenate([da_r, da_z, dhn], axis=-1)  # [N, 3H]
-        dpx_ref[0] = jnp.concatenate([da_r, da_z, da_c], axis=-1)
+        dpx_ref[0] = jnp.concatenate([da_r, da_z, da_c], axis=-1).astype(
+            dpx_ref.dtype
+        )
 
         back = _dot(dph, w_ref[d], compute_dtype, contract=((1,), (1,)))
         dh_s[d] = dht * z + back
@@ -157,8 +160,8 @@ def _fwd_call(px_f, px_b, w_hh, b_hh, *, compute_dtype, interpret):
             pl.BlockSpec((1, n, h), rev),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, n, h), jnp.float32),
-            jax.ShapeDtypeStruct((t, n, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, n, h), px_f.dtype),
+            jax.ShapeDtypeStruct((t, n, h), px_f.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((2, n, h), jnp.float32)],
         interpret=interpret,
@@ -204,8 +207,8 @@ def _bwd_call(px_f, px_b, ys_f, ys_b, dy_f, dy_b, w_hh, b_hh,
             pl.BlockSpec((2, h3), lambda j: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, n, h3), jnp.float32),
-            jax.ShapeDtypeStruct((t, n, h3), jnp.float32),
+            jax.ShapeDtypeStruct((t, n, h3), px_f.dtype),
+            jax.ShapeDtypeStruct((t, n, h3), px_f.dtype),
             jax.ShapeDtypeStruct((2, h, h3), jnp.float32),
             jax.ShapeDtypeStruct((2, h3), jnp.float32),
         ],

@@ -2,7 +2,7 @@
 
 Why: stage 2's BN + pool + ReLU passes over the [N, 32, W/2, 64] conv
 output cost 6.96 ms fwd+bwd isolated (tools/rec_stage2_probe.py) — ~5x
-their traffic roofline. The C=64 minor dim wastes half the vector lanes
+their traffic roofline: the C=64 minor dim wastes half the vector lanes
 on every elementwise pass, the BN apply round-trips 512 MB at the wide
 bucket, and the pool backward lowers to select_and_scatter. Every
 XLA-level reformulation measured worse (docs/rec_perf.md).
@@ -19,19 +19,27 @@ output per direction by *reassociating pool and BN*:
   scalars from (s1, s2) and applies affine + ReLU on the 4x-smaller
   pooled tensor.
 - the backward is a custom VJP of ``bnpool_stats`` ONLY: XLA autodiffs
-  the epilogue (producing the pooled cotangents d_pmax/d_pmin — the
-  ReLU gate and ``inv`` factor included — and the stats cotangents
-  ds1/ds2, i.e. the whole BN-statistics chain), and the kernel emits
+  the epilogue (producing the pooled cotangents d_pmax/d_pmin — ReLU
+  gate and ``inv`` factor included — and the stats cotangents ds1/ds2,
+  i.e. the whole BN-statistics chain), and the kernel emits
   ``dy = route(d_pmax) + route(d_pmin) + ds1 + 2 * ds2 * y`` in one
   pass, with first-match tie routing in select_and_scatter scan order
   ((h0,w0),(h0,w1),(h1,w0),(h1,w1)).
 
-Layout: y [N, H, W, C] is viewed as [N, H/2, 2, W/2, 2C] — a free
-row-major reshape that puts the pool's H phases on an untiled outer dim
-and fuses W pairs into a full 128-lane minor dim (C=64). The W-phase
-fold is a lane-half slice + max; the backward's cross-half mask
-projections use lane rolls, and the 64->2C pooled-operand expansion
-rides the otherwise-idle MXU via a [C, 2C] duplication matrix.
+Layout (second design — the first, a [N,H/2,2,W/2,2C] lane-fused view,
+measured 4.3 ms fwd: the "free" reshape is a real 1.6 ms relayout on
+TPU and its lane-half folds are VPU-relayout-bound): y stays in native
+NHWC, blocks are H-pair rows [1, 2, W, C] with W on the sublanes, and
+the pool's W-phase split is an MXU contraction with one-hot selection
+matrices ``E = S_e @ y`` / ``O = S_o @ y`` — the stage-1 kernel's
+polyphase trick. The extracted phases arrive as f32 dot outputs, so the
+max/min trees need no bf16 compare (unsupported on this rig) and no
+lane shuffles exist anywhere. The backward's scatter is the transposed
+selection contraction. Equality routing compares dot outputs against
+the stored max of those same dot outputs, so it is robust to MXU
+rounding (an earlier design compared y against a dot-expanded copy;
+f32 operands round on the MXU and every equality missed —
+tools/bnpool_debug2.py).
 
 Replaces (capability): the reference recognizer's stage-2 norm + pool
 (/root/reference/ocrs_models/models.py:181-186: BatchNorm2d(64) +
@@ -47,178 +55,162 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# The backward's per-step working set (y view block + dy block + four
-# pooled operands + expansions) tops Mosaic's 16 MB scoped-vmem default
-# at the wide-bucket shape; v5e has 128 MB of VMEM.
+# The backward's working set is ~1 MB/block, but the default 16 MB
+# scoped-vmem cap is tight once Mosaic stacks double-buffered blocks and
+# the selection matrices; v5e has 128 MB of VMEM.
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
-def _roll(x, shift, interpret):
-    """Lane rotation along the minor axis (axis 1 of a 2-D tile)."""
-    if interpret:
-        return jnp.roll(x, shift, axis=1)
-    # pltpu.roll rejects negative shifts; rotation is modular.
-    return pltpu.roll(x, shift % x.shape[1], axis=1)
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
-def _fwd_kernel(y_ref, pmax_ref, pmin_ref, s1_ref, s2_ref, *, hp, c):
-    """One batch element: pooled max/min + per-lane sums.
+def _phases(y_ref, se, so):
+    """Extract the four pool-window candidates for one H-pair block.
 
-    y_ref block [1, hp, 2, rows, 2c]; pooled outputs [1, hp, rows, c];
-    s1/s2 per-n partials [1, 1, 2c] f32 (lane k<c = channel k of the
-    even W phase, lane c+k = channel k of the odd phase).
+    Returns f32 [W/2, C] arrays (E0, O0, E1, O1) in select_and_scatter
+    scan order: (h0, w even), (h0, w odd), (h1, w even), (h1, w odd).
     """
-    l = 2 * c
-    a1 = jnp.zeros((1, l), jnp.float32)
-    a2 = jnp.zeros((1, l), jnp.float32)
-    for h in range(hp):
-        y0 = y_ref[0, h, 0].astype(jnp.float32)  # [rows, 2c]
-        y1 = y_ref[0, h, 1].astype(jnp.float32)
-        a1 = a1 + jnp.sum(y0 + y1, axis=0, keepdims=True)
-        a2 = a2 + jnp.sum(y0 * y0 + y1 * y1, axis=0, keepdims=True)
-        hmx = jnp.maximum(y0, y1)
-        hmn = jnp.minimum(y0, y1)
-        pmax_ref[0, h] = jnp.maximum(hmx[:, :c], hmx[:, c:]).astype(
-            pmax_ref.dtype
-        )
-        pmin_ref[0, h] = jnp.minimum(hmn[:, :c], hmn[:, c:]).astype(
-            pmin_ref.dtype
-        )
-    s1_ref[0] = a1
-    s2_ref[0] = a2
+    y0 = y_ref[0, 0]
+    y1 = y_ref[0, 1]
+    return _dot(se, y0), _dot(so, y0), _dot(se, y1), _dot(so, y1), y0, y1
+
+
+def _fwd_kernel(y_ref, se_ref, so_ref, pmax_ref, pmin_ref, s1_ref, s2_ref):
+    e0, o0, e1, o1, y0, y1 = _phases(y_ref, se_ref[...], so_ref[...])
+    mx = jnp.maximum(jnp.maximum(e0, o0), jnp.maximum(e1, o1))
+    mn = jnp.minimum(jnp.minimum(e0, o0), jnp.minimum(e1, o1))
+    pmax_ref[0, 0] = mx.astype(pmax_ref.dtype)
+    pmin_ref[0, 0] = mn.astype(pmin_ref.dtype)
+    y0f = y0.astype(jnp.float32)
+    y1f = y1.astype(jnp.float32)
+    s1_ref[0, 0] = jnp.sum(y0f + y1f, axis=0, keepdims=True)
+    s2_ref[0, 0] = jnp.sum(y0f * y0f + y1f * y1f, axis=0, keepdims=True)
 
 
 def _bwd_kernel(
     y_ref,
+    se_ref,
+    so_ref,
+    set_ref,
+    sot_ref,
     pmax_ref,
     pmin_ref,
     dmax_ref,
     dmin_ref,
     ds_ref,
-    dmat_ref,
     dy_ref,
-    *,
-    hp,
-    c,
-    interpret,
 ):
-    """dy = route(dmax) + route(dmin) + ds1 + 2*ds2*y, one pass.
-
-    ds_ref [2, 2c] f32: row 0 = ds1 duplicated across the two W phases,
-    row 1 = 2*ds2 duplicated. dmat_ref [c, 2c] f32 = [I | I] expands a
-    pooled [rows, c] operand to both lane halves on the MXU.
-    """
-    l = 2 * c
-    dmat = dmat_ref[...]
+    dt = dy_ref.dtype
+    e0, o0, e1, o1, y0, y1 = _phases(y_ref, se_ref[...], so_ref[...])
+    y0f = y0.astype(jnp.float32)
+    y1f = y1.astype(jnp.float32)
+    # Routed pooled cotangents, accumulated over the max and min chains.
+    r = [0.0, 0.0, 0.0, 0.0]
+    for p_ref, d_ref in ((pmax_ref, dmax_ref), (pmin_ref, dmin_ref)):
+        p = p_ref[0, 0].astype(jnp.float32)
+        d = d_ref[0, 0].astype(jnp.float32)
+        m0 = jnp.where(e0 == p, 1.0, 0.0)
+        m1 = jnp.where(o0 == p, 1.0, 0.0) * (1.0 - m0)
+        m2 = jnp.where(e1 == p, 1.0, 0.0) * (1.0 - m0 - m1)
+        m3 = jnp.where(o1 == p, 1.0, 0.0) * (1.0 - m0 - m1 - m2)
+        for i, m in enumerate((m0, m1, m2, m3)):
+            r[i] = r[i] + m * d
+    # Scatter back to full W via the transposed selection contraction;
+    # the per-channel stats terms ride along (ds row 0 = ds1, row 1 =
+    # 2*ds2, broadcast across sublanes).
     ds1 = ds_ref[0:1, :]
     ds2x2 = ds_ref[1:2, :]
-    rows = dy_ref.shape[3]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, l), 1)
-    low = jnp.where(lane < c, 1.0, 0.0).astype(jnp.float32)
-    high = 1.0 - low
-
-    def expand(p):  # [rows, c] -> [rows, 2c]
-        return jax.lax.dot_general(
-            p.astype(jnp.float32),
-            dmat,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    for h in range(hp):
-        y0 = y_ref[0, h, 0].astype(jnp.float32)
-        y1 = y_ref[0, h, 1].astype(jnp.float32)
-        g0 = ds1 + ds2x2 * y0
-        g1 = ds1 + ds2x2 * y1
-        for p_ref, d_ref in ((pmax_ref, dmax_ref), (pmin_ref, dmin_ref)):
-            p_b = expand(p_ref[0, h])
-            d_b = expand(d_ref[0, h])
-            c0 = jnp.where(y0 == p_b, 1.0, 0.0)
-            c1 = jnp.where(y1 == p_b, 1.0, 0.0)
-            # First-match priority in select_and_scatter scan order;
-            # `taken` is projected to both lane halves after each phase.
-            m1 = c0 * low
-            taken = m1 + _roll(m1, c, interpret)
-            m2 = c0 * high * (1.0 - taken)
-            taken = taken + m2 + _roll(m2, -c, interpret)
-            m3 = c1 * low * (1.0 - taken)
-            taken = taken + m3 + _roll(m3, c, interpret)
-            m4 = c1 * high * (1.0 - taken)
-            g0 = g0 + (m1 + m2) * d_b
-            g1 = g1 + (m3 + m4) * d_b
-        dy_ref[0, h, 0] = g0.astype(dy_ref.dtype)
-        dy_ref[0, h, 1] = g1.astype(dy_ref.dtype)
+    set_ = set_ref[...]
+    sot = sot_ref[...]
+    dy0 = _dot(set_, r[0].astype(dt)) + _dot(sot, r[1].astype(dt))
+    dy1 = _dot(set_, r[2].astype(dt)) + _dot(sot, r[3].astype(dt))
+    dy_ref[0, 0] = (dy0 + ds1 + ds2x2 * y0f).astype(dt)
+    dy_ref[0, 1] = (dy1 + ds1 + ds2x2 * y1f).astype(dt)
 
 
-def _view(y):
-    n, h, w, c = y.shape
-    return y.reshape(n, h // 2, 2, w // 2, 2 * c)
+def _selection(w, dtype):
+    """One-hot W-phase selection matrices S_e, S_o [W/2, W]."""
+    wp = w // 2
+    rows = np.arange(wp)
+    se = np.zeros((wp, w), np.float32)
+    so = np.zeros((wp, w), np.float32)
+    se[rows, 2 * rows] = 1.0
+    so[rows, 2 * rows + 1] = 1.0
+    return jnp.asarray(se, dtype), jnp.asarray(so, dtype)
 
 
 def _fwd_call(y, *, interpret):
     n, h, w, c = y.shape
-    hp, rows, l = h // 2, w // 2, 2 * c
+    hp, wp = h // 2, w // 2
+    se, so = _selection(w, y.dtype)
+    hpair = pl.BlockSpec((1, 2, w, c), lambda i, j: (i, j, 0, 0))
+    pooled = pl.BlockSpec((1, 1, wp, c), lambda i, j: (i, j, 0, 0))
     pmax, pmin, p1, p2 = pl.pallas_call(
-        functools.partial(_fwd_kernel, hp=hp, c=c),
-        grid=(n,),
+        _fwd_kernel,
+        grid=(n, hp),
         in_specs=[
-            pl.BlockSpec((1, hp, 2, rows, l), lambda i: (i, 0, 0, 0, 0)),
+            hpair,
+            pl.BlockSpec((wp, w), lambda i, j: (0, 0)),
+            pl.BlockSpec((wp, w), lambda i, j: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, hp, rows, c), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, hp, rows, c), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0)),
+            pooled,
+            pooled,
+            pl.BlockSpec((1, 1, 1, c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, c), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, hp, rows, c), y.dtype),
-            jax.ShapeDtypeStruct((n, hp, rows, c), y.dtype),
-            jax.ShapeDtypeStruct((n, 1, l), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1, l), jnp.float32),
+            jax.ShapeDtypeStruct((n, hp, wp, c), y.dtype),
+            jax.ShapeDtypeStruct((n, hp, wp, c), y.dtype),
+            jax.ShapeDtypeStruct((n, hp, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, hp, 1, c), jnp.float32),
         ],
-        interpret=interpret,
-    )(_view(y))
-    s1 = p1.sum(axis=(0, 1))
-    s2 = p2.sum(axis=(0, 1))
-    return pmax, pmin, s1[:c] + s1[c:], s2[:c] + s2[c:]
-
-
-def _bwd_call(y, pmax, pmin, dmax, dmin, ds1, ds2, *, interpret):
-    n, h, w, c = y.shape
-    hp, rows, l = h // 2, w // 2, 2 * c
-    ds = jnp.stack(
-        [
-            jnp.concatenate([ds1, ds1]),
-            2.0 * jnp.concatenate([ds2, ds2]),
-        ]
-    ).astype(jnp.float32)
-    dmat = jnp.concatenate(
-        [jnp.eye(c, dtype=jnp.float32), jnp.eye(c, dtype=jnp.float32)], axis=1
-    )
-    pooled = pl.BlockSpec((1, hp, rows, c), lambda i: (i, 0, 0, 0))
-    dy = pl.pallas_call(
-        functools.partial(_bwd_kernel, hp=hp, c=c, interpret=interpret),
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, hp, 2, rows, l), lambda i: (i, 0, 0, 0, 0)),
-            pooled,
-            pooled,
-            pooled,
-            pooled,
-            pl.BlockSpec((2, l), lambda i: (0, 0)),
-            pl.BlockSpec((c, l), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, hp, 2, rows, l), lambda i: (i, 0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, hp, 2, rows, l), y.dtype),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(_view(y), pmax, pmin, dmax, dmin, ds, dmat)
-    return dy.reshape(n, h, w, c)
+    )(y, se, so)
+    return pmax, pmin, p1.sum(axis=(0, 1, 2)), p2.sum(axis=(0, 1, 2))
+
+
+def _bwd_call(y, pmax, pmin, dmax, dmin, ds1, ds2, *, interpret):
+    n, h, w, c = y.shape
+    hp, wp = h // 2, w // 2
+    se, so = _selection(w, y.dtype)
+    ds = jnp.stack([ds1, 2.0 * ds2]).astype(jnp.float32)
+    hpair = pl.BlockSpec((1, 2, w, c), lambda i, j: (i, j, 0, 0))
+    pooled = pl.BlockSpec((1, 1, wp, c), lambda i, j: (i, j, 0, 0))
+    whole = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape))
+    dy = pl.pallas_call(
+        _bwd_kernel,
+        grid=(n, hp),
+        in_specs=[
+            hpair,
+            whole((wp, w)),
+            whole((wp, w)),
+            whole((w, wp)),
+            whole((w, wp)),
+            pooled,
+            pooled,
+            pooled,
+            pooled,
+            whole((2, c)),
+        ],
+        out_specs=hpair,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), y.dtype),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(y, se, so, se.T, so.T, pmax, pmin, dmax, dmin, ds)
+    return dy
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -241,9 +233,7 @@ def _vjp_fwd(y, interpret):
 def _vjp_bwd(interpret, res, cts):
     y, pmax, pmin = res
     dmax, dmin, ds1, ds2 = cts
-    dy = _bwd_call(
-        y, pmax, pmin, dmax, dmin, ds1, ds2, interpret=interpret
-    )
+    dy = _bwd_call(y, pmax, pmin, dmax, dmin, ds1, ds2, interpret=interpret)
     return (dy,)
 
 

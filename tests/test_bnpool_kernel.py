@@ -101,6 +101,39 @@ def test_bf16_io_and_c64():
     )
 
 
+def test_bf16_backward_near_f32_truth():
+    # In bf16 the reference applies the BN affine in bf16 BEFORE pooling,
+    # which can collapse near-ties and route the pool gradient to a
+    # different (equally valid) window position than the fused path's
+    # raw-value argmax. So compare both to the f32-exact gradient: the
+    # fused path must be at least as close to truth as the reference.
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(
+        rng.normal(0, 1, (4, 8, 16, 64)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    gamma = jnp.asarray(rng.normal(1, 0.3, (64,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(0, 0.2, (64,)).astype(np.float32))
+
+    def loss(fn, t):
+        return jnp.sum(fn(t).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(
+        lambda t: loss(lambda u: fused_bnpool(u, gamma, beta, interpret=True), t)
+    )(y).astype(jnp.float32)
+    gr = jax.grad(
+        lambda t: loss(lambda u: reference_bnpool(u, gamma, beta), t)
+    )(y).astype(jnp.float32)
+    g32 = jax.grad(
+        lambda t: loss(
+            lambda u: reference_bnpool(u.astype(jnp.float32), gamma, beta), t
+        )
+    )(y).astype(jnp.float32)
+    df = jnp.abs(gf - g32)
+    dr = jnp.abs(gr - g32)
+    assert float(jnp.mean(df > 0.1)) <= float(jnp.mean(dr > 0.1)) + 1e-3
+    assert float(jnp.mean(df)) <= float(jnp.mean(dr)) * 1.5 + 1e-3
+
+
 @pytest.mark.parametrize("train", [True, False])
 def test_model_fused_vs_xla_stage2(train):
     # Model-level: conv_backend="fused" (interpret) must match "xla"

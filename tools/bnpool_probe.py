@@ -62,9 +62,29 @@ def main():
     print("compiling fused bwd ...", flush=True)
     dgf = gf(y)
     dgr = gr(y)
-    dd = jnp.abs(dgf.astype(jnp.float32) - dgr.astype(jnp.float32)).max()
-    sc = jnp.abs(dgr.astype(jnp.float32)).max()
-    print("bwd dy max abs diff:", float(dd), "scale:", float(sc), flush=True)
+    # bf16 caveat: the reference applies the BN affine in bf16 BEFORE
+    # pooling, which can collapse near-ties and route the pool gradient
+    # to a different (equally valid) window position than the fused
+    # path's raw-value argmax. Compare both against the f32-exact
+    # gradient: the fused path must not be farther from truth than the
+    # reference is, and large disagreements must stay rare.
+    g32 = jax.jit(
+        jax.grad(
+            lambda t: jnp.sum(
+                reference_bnpool(t.astype(jnp.float32), gamma, beta) ** 2
+            )
+        )
+    )
+    dg32 = g32(y).astype(jnp.float32)
+    df = jnp.abs(dgf.astype(jnp.float32) - dg32)
+    dr = jnp.abs(dgr.astype(jnp.float32) - dg32)
+    print(
+        "bwd vs f32 truth: fused frac>0.1", float(jnp.mean(df > 0.1)),
+        " ref frac>0.1", float(jnp.mean(dr > 0.1)),
+        " fused maxdiff", float(df.max()),
+        " ref maxdiff", float(dr.max()),
+        flush=True,
+    )
 
     print(f"fused fwd      {timeit(fused, y)*1e3:6.2f} ms", flush=True)
     print(f"ref   fwd      {timeit(ref, y)*1e3:6.2f} ms", flush=True)

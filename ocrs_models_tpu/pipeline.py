@@ -75,10 +75,20 @@ def group_words_into_lines(quads: np.ndarray, overlap_threshold: float = 0.5):
 
 
 def group_lines_from_layout_probs(
-    boxes: np.ndarray, probs: np.ndarray, threshold: float = 0.5
+    boxes: np.ndarray,
+    probs: np.ndarray,
+    threshold: float = 0.5,
+    geometry_guard: bool = True,
 ):
     """Split a reading-ordered word-box sequence into lines at predicted
     line starts (BASELINE config #5's 'layout-graph' stage).
+
+    The model proposes, geometry vetoes: with ``geometry_guard`` a word
+    whose box has no vertical overlap with the previous word cannot
+    continue its line, whatever the predicted probability — a missed
+    line_start otherwise merges two real lines and costs BOTH in line
+    recall (the dominant failure mode of the learned grouping on clean
+    pages; tools/e2e_demo.py round-3 measurement).
 
     :param boxes: ``[W, 4]`` word AABBs in reading order.
     :param probs: ``[W, 2]`` (line_start, line_end) probabilities.
@@ -88,7 +98,11 @@ def group_lines_from_layout_probs(
     lines: list[dict] = []
     force_new = True
     for i, box in enumerate(boxes):
-        if probs[i, 0] >= threshold or force_new:
+        new_line = probs[i, 0] >= threshold or force_new
+        if not new_line and geometry_guard:
+            if _vertical_overlap(boxes[i - 1], box) <= 0.0:
+                new_line = True
+        if new_line:
             lines.append({"box": list(box), "members": [i]})
         else:
             line = lines[-1]

@@ -122,6 +122,34 @@ class TestLayoutModelGrouping:
         lines = group_lines_from_layout_probs(boxes, probs)
         assert [m for _, m in lines] == [[0, 1]]
 
+    def test_group_from_probs_geometry_guard_vetoes_merge(self):
+        # Word 2 sits on a different text row (no vertical overlap with
+        # word 1) but the model misses its line_start: the geometry guard
+        # must force the break anyway.
+        from ocrs_models_tpu.pipeline import group_lines_from_layout_probs
+
+        boxes = np.array(
+            [[0, 0, 10, 10], [20, 0, 30, 10], [0, 40, 10, 50]], np.float32
+        )
+        probs = np.array([[0.9, 0.0], [0.1, 0.0], [0.1, 0.0]], np.float32)
+        lines = group_lines_from_layout_probs(boxes, probs)
+        assert [m for _, m in lines] == [[0, 1], [2]]
+        # Without the guard the missed start merges the rows.
+        lines = group_lines_from_layout_probs(boxes, probs, geometry_guard=False)
+        assert [m for _, m in lines] == [[0, 1, 2]]
+
+    def test_group_from_probs_guard_keeps_same_row_words(self):
+        # The guard must NOT split words that do share a row: overlapping
+        # y-extents with a low line_start probability stay merged.
+        from ocrs_models_tpu.pipeline import group_lines_from_layout_probs
+
+        boxes = np.array(
+            [[0, 0, 10, 10], [20, 2, 30, 12], [40, 1, 50, 11]], np.float32
+        )
+        probs = np.array([[0.9, 0.0], [0.1, 0.0], [0.1, 0.0]], np.float32)
+        lines = group_lines_from_layout_probs(boxes, probs)
+        assert [m for _, m in lines] == [[0, 1, 2]]
+
     def test_group_from_probs_empty(self):
         from ocrs_models_tpu.pipeline import group_lines_from_layout_probs
 

@@ -323,3 +323,186 @@ class OcrPipeline:
             )
             for text, (box, members) in zip(texts, lines)
         ]
+
+    # ------------------------------------------------------- batched serving
+
+    def _crop_line(self, image: np.ndarray, box) -> Optional[np.ndarray]:
+        """Crop one line box out of a page and resize to rec height.
+        Returns None for degenerate boxes (the caller emits "")."""
+        h, w = image.shape[:2]
+        x0, y0, x1, y1 = box
+        x0 = int(max(0, np.floor(x0)))
+        y0 = int(max(0, np.floor(y0)))
+        x1 = int(min(w, np.ceil(x1)))
+        y1 = int(min(h, np.ceil(y1)))
+        if x1 - x0 < 2 or y1 - y0 < 2:
+            return None
+        crop = image[y0:y1, x0:x1]
+        aspect = (x1 - x0) / (y1 - y0)
+        out_w = min(self.max_line_width, max(10, int(self.rec_height * aspect)))
+        return resize(crop, (self.rec_height, out_w))
+
+    def run_batch(
+        self,
+        images: list[np.ndarray],
+        det_batch: int = 8,
+        rec_batch: int = 128,
+    ) -> list[list[OcrLine]]:
+        """Multi-page serving path: the whole batch moves through each stage
+        together so the accelerator always sees large, fixed shapes.
+
+        - Detection forwards run in fixed ``det_batch`` sub-batches (the
+          tail padded with zero pages, outputs dropped) — one compile.
+        - Connected-component word quads + line grouping stay on the host
+          C++ geometry core per page (dynamic component counts do not map
+          to static shapes; the C++ union-find is microseconds per mask).
+        - With the layout model, ALL pages' word boxes go through ONE
+          padded ``[B, pad_words, 4]`` transformer forward.
+        - Line crops from every page are pooled into GLOBAL width buckets
+          and recognized in fixed ``rec_batch`` rows (tail rows zero-padded
+          with length 0), so per-bucket compiles are shared across pages
+          and the CRNN runs at its measured large-batch throughput instead
+          of per-page partial batches.
+
+        Compile count is bounded: one detection shape, one layout shape,
+        and (#width buckets x 1) recognition shapes, all reused across
+        calls with any number of pages.
+
+        :param images: greyscale HWC float pages in [-0.5, 0.5] (sizes may
+            differ; each is resized to the detection input resolution).
+        :return: per page, the same ``list[OcrLine]`` as ``__call__``.
+        """
+        n_pages = len(images)
+        if n_pages == 0:
+            return []
+
+        # ---- Stage 1: batched detection forward + host postprocess.
+        det_h, det_w = self.det_size
+        det_in = np.zeros((n_pages, det_h, det_w, 1), np.float32)
+        for p, img in enumerate(images):
+            det_in[p] = resize(img, self.det_size)
+        page_quads: list[np.ndarray] = []
+        for start in range(0, n_pages, det_batch):
+            chunk = det_in[start : start + det_batch]
+            pad = det_batch - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, det_h, det_w, 1), np.float32)]
+                )
+            probs = np.asarray(self._det_fwd(self._det_vars, jnp.array(chunk)))
+            for row in range(min(det_batch, n_pages - start)):
+                p = start + row
+                h, w = images[p].shape[:2]
+                binary = (probs[row] > self.threshold).astype(np.uint8)[..., 0]
+                quads = extract_cc_quads(binary)
+                quads = expand_quads(quads, dist=SHRINK_DISTANCE)
+                scale = np.array([w / det_w, h / det_h])
+                page_quads.append(np.asarray(quads, np.float64) * scale)
+
+        # ---- Stage 2: line grouping (one batched layout forward, or the
+        # vertical-overlap heuristic per page).
+        if self.use_layout_model:
+            page_lines = self._group_lines_layout_batch(page_quads)
+        else:
+            page_lines = [group_words_into_lines(q) for q in page_quads]
+
+        # ---- Stage 3: global width-bucketed recognition.
+        flat_crops: list[Optional[np.ndarray]] = []
+        flat_owner: list[tuple[int, int]] = []  # (page, line index)
+        for p, lines in enumerate(page_lines):
+            for li, (box, _) in enumerate(lines):
+                flat_crops.append(self._crop_line(images[p], box))
+                flat_owner.append((p, li))
+        flat_texts = self._recognize_crops(flat_crops, rec_batch)
+
+        # ---- Assemble per-page results.
+        out: list[list[OcrLine]] = [[] for _ in range(n_pages)]
+        for (p, li), text in zip(flat_owner, flat_texts):
+            box, members = page_lines[p][li]
+            out[p].append(
+                OcrLine(
+                    text=text,
+                    box=tuple(float(v) for v in box),
+                    words=[page_quads[p][i] for i in members],
+                )
+            )
+        return out
+
+    def _group_lines_layout_batch(self, page_quads: list[np.ndarray]):
+        """Layout-model line grouping for many pages in ONE padded forward
+        (pages with no words skip the model)."""
+        n_pages = len(page_quads)
+        padded = np.zeros((n_pages, self.layout_pad_words, 4), np.float32)
+        orders: list[Optional[np.ndarray]] = [None] * n_pages
+        boxes_all: list[Optional[np.ndarray]] = [None] * n_pages
+        counts = np.zeros((n_pages,), np.int64)
+        for p, quads in enumerate(page_quads):
+            if len(quads) == 0:
+                continue
+            boxes = np.stack(
+                [quads.min(axis=1), quads.max(axis=1)], axis=1
+            ).reshape(-1, 4)
+            med_h = float(np.median(boxes[:, 3] - boxes[:, 1]))
+            row = np.round(boxes[:, 1] / max(med_h, 1.0)).astype(np.int64)
+            order = np.lexsort((boxes[:, 0], row))
+            k = min(len(order), self.layout_pad_words)
+            padded[p, :k] = boxes[order[:k]]
+            orders[p] = order
+            boxes_all[p] = boxes
+            counts[p] = k
+        probs = np.asarray(self._layout_fwd(self._layout_vars, jnp.array(padded)))
+        page_lines = []
+        for p in range(n_pages):
+            if orders[p] is None:
+                page_lines.append([])
+                continue
+            order, boxes, k = orders[p], boxes_all[p], int(counts[p])
+            lines = group_lines_from_layout_probs(
+                boxes[order[:k]], probs[p, :k]
+            )
+            mapped = [
+                (box, [int(order[i]) for i in members]) for box, members in lines
+            ]
+            for i in order[k:]:
+                mapped.append((boxes[i].copy(), [int(i)]))
+            page_lines.append(mapped)
+        return page_lines
+
+    def _recognize_crops(
+        self, crops: list[Optional[np.ndarray]], rec_batch: int
+    ) -> list[str]:
+        """Greedy-decode a flat crop list in fixed-size width-bucket batches."""
+        texts = [""] * len(crops)
+        valid = [i for i, c in enumerate(crops) if c is not None]
+        if not valid:
+            return texts
+        widths = {
+            i: min(
+                round_up(crops[i].shape[1], self.width_step), self.max_line_width
+            )
+            for i in valid
+        }
+        for bucket in sorted(set(widths.values())):
+            idxs = [i for i in valid if widths[i] == bucket]
+            for start in range(0, len(idxs), rec_batch):
+                rows = idxs[start : start + rec_batch]
+                # Always pad to rec_batch: ONE compiled shape per bucket,
+                # shared by every chunk, page, and call.
+                batch = np.zeros(
+                    (rec_batch, self.rec_height, bucket, 1), np.float32
+                )
+                lens = np.zeros((rec_batch,), np.int32)
+                for row, i in enumerate(rows):
+                    wi = min(crops[i].shape[1], bucket)
+                    batch[row, :, :wi] = crops[i][:, :wi]
+                    lens[row] = wi // 4
+                log_probs = self._rec_fwd(self._rec_vars, jnp.array(batch))
+                ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+                decoded, dec_lens = self._decode(ids, jnp.array(lens))
+                decoded = np.asarray(decoded)
+                dec_lens = np.asarray(dec_lens)
+                for row, i in enumerate(rows):
+                    texts[i] = decode_text(
+                        decoded[row, : dec_lens[row]], self.alphabet
+                    )
+        return texts

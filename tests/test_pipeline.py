@@ -81,6 +81,75 @@ class TestPipeline:
         assert texts[2] == ""
 
 
+class TestBatchedServing:
+    def _pipe(self, **kwargs):
+        det = DetectionModel()
+        rec = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
+        det_vars = det.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)), train=False)
+        rec_vars = rec.init(jax.random.key(1), jnp.zeros((1, 64, 64, 1)), train=False)
+        return OcrPipeline(det_vars, rec_vars, det_size=(128, 96), **kwargs)
+
+    def test_run_batch_shapes_and_tail_padding(self):
+        # 3 pages of different sizes through det_batch=2 (pads the tail
+        # sub-batch) and rec_batch=4 (pads recognition rows).
+        pipe = self._pipe()
+        from ocrs_models_tpu.data import SyntheticDetection
+
+        images = [
+            SyntheticDetection(size=1, page_size=(256, 192), seed=s)[0]["image"]
+            for s in (0, 1)
+        ]
+        images.append(
+            SyntheticDetection(size=1, page_size=(192, 256), seed=2)[0]["image"]
+        )
+        results = pipe.run_batch(images, det_batch=2, rec_batch=4)
+        assert len(results) == 3
+        for page in results:
+            for line in page:
+                assert isinstance(line.text, str)
+                assert len(line.box) == 4
+
+    def test_run_batch_matches_single_image_path(self):
+        # The serving path must produce the same lines and texts as
+        # calling the pipeline per page (same weights, same seeds).
+        pipe = self._pipe()
+        from ocrs_models_tpu.data import SyntheticDetection
+
+        images = [
+            SyntheticDetection(size=1, page_size=(256, 192), seed=s)[0]["image"]
+            for s in (3, 4)
+        ]
+        batched = pipe.run_batch(images, det_batch=2, rec_batch=4)
+        for img, page in zip(images, batched):
+            single = pipe(img)
+            assert len(page) == len(single)
+            for a, b in zip(page, single):
+                assert a.text == b.text
+                np.testing.assert_allclose(a.box, b.box, rtol=1e-5, atol=1e-4)
+
+    def test_run_batch_empty_and_blank_pages(self):
+        pipe = self._pipe(threshold=1.1)  # nothing ever detected
+        blank = np.zeros((128, 96, 1), np.float32)
+        assert pipe.run_batch([]) == []
+        results = pipe.run_batch([blank, blank], det_batch=2, rec_batch=2)
+        assert results == [[], []]
+
+    def test_recognize_crops_matches_recognize_lines(self):
+        pipe = self._pipe(width_step=64)
+        img = np.random.default_rng(0).uniform(
+            -0.5, 0.5, (100, 400, 1)
+        ).astype(np.float32)
+        boxes = [
+            np.array([5, 5, 100, 30]),
+            np.array([5, 40, 390, 80]),
+            np.array([0, 0, 1, 1]),  # degenerate -> ""
+        ]
+        want = pipe.recognize_lines(img, boxes)
+        crops = [pipe._crop_line(img, b) for b in boxes]
+        got = pipe._recognize_crops(crops, rec_batch=2)
+        assert got == want
+
+
 class TestLayoutModelGrouping:
     def test_group_from_probs_splits_at_starts(self):
         from ocrs_models_tpu.pipeline import group_lines_from_layout_probs

@@ -150,6 +150,8 @@ def _random_crop(rng: np.random.Generator, imgs, size=600):
 def resize(img: np.ndarray, size: tuple[int, int], nearest=False) -> np.ndarray:
     """Resize HWC float image to (height, width)."""
     h, w = size
+    if img.shape[:2] == (h, w):  # identity: skip the PIL round trip
+        return np.ascontiguousarray(img, dtype=np.float32)
     pil = _to_pil(img).resize((w, h), Image.NEAREST if nearest else Image.BILINEAR)
     return _from_pil(pil)
 

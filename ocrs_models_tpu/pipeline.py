@@ -150,6 +150,17 @@ class OcrPipeline:
         self._det_fwd = jax.jit(
             lambda v, x: det_model.apply(v, x, train=False)
         )
+        # Forward + threshold + bit-pack in one jit: the host only needs
+        # the binary mask for CC labeling, so fetch W/8 uint8 bytes per
+        # row instead of W float32 probabilities — 64x less host<->device
+        # traffic (the fetch, not the forward, dominates remote-attached
+        # inference; measured in tools/serve_bench.py).
+        thr = float(threshold)
+        self._det_mask = jax.jit(
+            lambda v, x: jnp.packbits(
+                det_model.apply(v, x, train=False)[..., 0] > thr, axis=-1
+            )
+        )
         self._rec_fwd = jax.jit(
             lambda v, x: rec_model.apply(v, x, train=False)
         )
@@ -213,12 +224,16 @@ class OcrPipeline:
 
     # ------------------------------------------------------------- stages
 
+    def _unpack_mask(self, packed: np.ndarray) -> np.ndarray:
+        """[H, ceil(W/8)] packed bits -> [H, W] uint8 binary mask."""
+        return np.unpackbits(packed, axis=-1)[:, : self.det_size[1]]
+
     def detect_words(self, image: np.ndarray) -> np.ndarray:
         """Greyscale [-0.5, 0.5] HWC image -> Nx4x2 word quads (input scale)."""
         h, w = image.shape[:2]
         det_in = resize(image, self.det_size)
-        probs = np.asarray(self._det_fwd(self._det_vars, jnp.array(det_in[None])))[0]
-        binary = (probs > self.threshold).astype(np.uint8)[..., 0]
+        packed = np.asarray(self._det_mask(self._det_vars, jnp.array(det_in[None])))
+        binary = self._unpack_mask(packed[0])
         quads = extract_cc_quads(binary)
         quads = expand_quads(quads, dist=SHRINK_DISTANCE)
         # Map back to input resolution.
@@ -261,50 +276,14 @@ class OcrPipeline:
     def recognize_lines(
         self, image: np.ndarray, line_boxes: list[np.ndarray]
     ) -> list[str]:
-        """Crop line boxes, batch by width bucket, run CRNN + greedy decode."""
-        h, w = image.shape[:2]
-        crops = []
-        for box in line_boxes:
-            x0, y0, x1, y1 = box
-            x0 = int(max(0, np.floor(x0)))
-            y0 = int(max(0, np.floor(y0)))
-            x1 = int(min(w, np.ceil(x1)))
-            y1 = int(min(h, np.ceil(y1)))
-            if x1 - x0 < 2 or y1 - y0 < 2:
-                crops.append(None)
-                continue
-            crop = image[y0:y1, x0:x1]
-            aspect = (x1 - x0) / (y1 - y0)
-            out_w = min(self.max_line_width, max(10, int(self.rec_height * aspect)))
-            crops.append(resize(crop, (self.rec_height, out_w)))
+        """Crop line boxes, batch by width bucket, run CRNN + greedy decode.
 
-        texts = [""] * len(crops)
-        valid = [i for i, c in enumerate(crops) if c is not None]
-        if not valid:
-            return texts
-        # One bucketed batch per distinct padded width.
-        widths = {
-            i: min(
-                round_up(crops[i].shape[1], self.width_step), self.max_line_width
-            )
-            for i in valid
-        }
-        for bucket in sorted(set(widths.values())):
-            idxs = [i for i in valid if widths[i] == bucket]
-            batch = np.zeros((len(idxs), self.rec_height, bucket, 1), np.float32)
-            lens = np.zeros((len(idxs),), np.int32)
-            for row, i in enumerate(idxs):
-                wi = min(crops[i].shape[1], bucket)
-                batch[row, :, :wi] = crops[i][:, :wi]
-                lens[row] = wi // 4
-            log_probs = self._rec_fwd(self._rec_vars, jnp.array(batch))
-            ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
-            decoded, dec_lens = self._decode(ids, jnp.array(lens))
-            decoded = np.asarray(decoded)
-            dec_lens = np.asarray(dec_lens)
-            for row, i in enumerate(idxs):
-                texts[i] = decode_text(decoded[row, : dec_lens[row]], self.alphabet)
-        return texts
+        Single-image latency path: each width bucket runs as ONE batch of
+        exactly its line count (no padding rows), trading recompiles for
+        the lowest per-call device time. The serving path
+        (:meth:`run_batch`) uses fixed ``rec_batch`` rows instead."""
+        crops = [self._crop_line(image, box) for box in line_boxes]
+        return self._recognize_crops(crops, rec_batch=None)
 
     def __call__(self, image: np.ndarray) -> list[OcrLine]:
         """Full pipeline on a greyscale HWC float image in [-0.5, 0.5]."""
@@ -389,11 +368,11 @@ class OcrPipeline:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, det_h, det_w, 1), np.float32)]
                 )
-            probs = np.asarray(self._det_fwd(self._det_vars, jnp.array(chunk)))
+            packed = np.asarray(self._det_mask(self._det_vars, jnp.array(chunk)))
             for row in range(min(det_batch, n_pages - start)):
                 p = start + row
                 h, w = images[p].shape[:2]
-                binary = (probs[row] > self.threshold).astype(np.uint8)[..., 0]
+                binary = self._unpack_mask(packed[row])
                 quads = extract_cc_quads(binary)
                 quads = expand_quads(quads, dist=SHRINK_DISTANCE)
                 scale = np.array([w / det_w, h / det_h])
@@ -469,9 +448,15 @@ class OcrPipeline:
         return page_lines
 
     def _recognize_crops(
-        self, crops: list[Optional[np.ndarray]], rec_batch: int
+        self, crops: list[Optional[np.ndarray]], rec_batch: Optional[int]
     ) -> list[str]:
-        """Greedy-decode a flat crop list in fixed-size width-bucket batches."""
+        """Greedy-decode a flat crop list in width-bucket batches.
+
+        ``rec_batch=None``: one exact-size batch per bucket (latency path —
+        no padding rows, one compile per (bucket, count) shape).
+        ``rec_batch=N``: fixed N-row chunks, tail zero-padded (serving
+        path — ONE compiled shape per bucket, shared by every chunk, page,
+        and call)."""
         texts = [""] * len(crops)
         valid = [i for i, c in enumerate(crops) if c is not None]
         if not valid:
@@ -484,14 +469,11 @@ class OcrPipeline:
         }
         for bucket in sorted(set(widths.values())):
             idxs = [i for i in valid if widths[i] == bucket]
-            for start in range(0, len(idxs), rec_batch):
-                rows = idxs[start : start + rec_batch]
-                # Always pad to rec_batch: ONE compiled shape per bucket,
-                # shared by every chunk, page, and call.
-                batch = np.zeros(
-                    (rec_batch, self.rec_height, bucket, 1), np.float32
-                )
-                lens = np.zeros((rec_batch,), np.int32)
+            step = len(idxs) if rec_batch is None else rec_batch
+            for start in range(0, len(idxs), step):
+                rows = idxs[start : start + step]
+                batch = np.zeros((step, self.rec_height, bucket, 1), np.float32)
+                lens = np.zeros((step,), np.int32)
                 for row, i in enumerate(rows):
                     wi = min(crops[i].shape[1], bucket)
                     batch[row, :, :wi] = crops[i][:, :wi]

@@ -165,6 +165,16 @@ class OcrPipeline:
             lambda v, x: rec_model.apply(v, x, train=False)
         )
         self._decode = jax.jit(ctc_greedy_decode_batch)
+
+        # Forward + argmax + CTC-greedy collapse in ONE jit: a recognition
+        # chunk costs one dispatch and one small int fetch instead of
+        # three dispatches + the [N, T, C] log-prob round trip.
+        def _rec_decode(v, x, lens):
+            log_probs = rec_model.apply(v, x, train=False)
+            ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            return ctc_greedy_decode_batch(ids, lens)
+
+        self._rec_decode = jax.jit(_rec_decode)
         self._layout_vars = layout_variables
         if layout_variables is not None:
             layout_model = LayoutModel(return_probs=True)
@@ -478,11 +488,11 @@ class OcrPipeline:
                     wi = min(crops[i].shape[1], bucket)
                     batch[row, :, :wi] = crops[i][:, :wi]
                     lens[row] = wi // 4
-                log_probs = self._rec_fwd(self._rec_vars, jnp.array(batch))
-                ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
-                decoded, dec_lens = self._decode(ids, jnp.array(lens))
-                decoded = np.asarray(decoded)
-                dec_lens = np.asarray(dec_lens)
+                decoded, dec_lens = jax.device_get(
+                    self._rec_decode(
+                        self._rec_vars, jnp.array(batch), jnp.array(lens)
+                    )
+                )
                 for row, i in enumerate(rows):
                     texts[i] = decode_text(
                         decoded[row, : dec_lens[row]], self.alphabet

@@ -9,7 +9,7 @@ configs 3-4; hiertext.py caps line crops at W<=800 which buckets to 1024):
 - recognition inference, single-crop forward + on-device greedy decode
   latency (BASELINE config #1)
 - layout train step, 500 words, batch 64 (pages/sec/chip)
-- recognition train step, wide bucket W=1024 (T=257), batch 64
+- recognition train step, wide bucket W=1024 (T=257), batch 128
 - recognition mixed-bucket epoch (55% W=256 / 30% W=512 / 15% W=1024,
   crop-count-weighted) — the realistic HierText width mix
 - HEADLINE (last line, parsed by the driver): recognition train step,

@@ -131,7 +131,15 @@ class OcrPipeline:
         width_step: int = 256,
         threshold: float = 0.5,
         layout_pad_words: int = 500,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        """``mesh``: optional 1-D data mesh for multi-chip serving — model
+        variables are replicated and every fixed-shape serving batch
+        (detection sub-batches, recognition chunks, the layout forward) is
+        sharded along its leading axis, letting GSPMD run inference
+        data-parallel across chips. Batches whose leading dim does not
+        divide the mesh (e.g. the single-image latency path's exact-size
+        buckets) fall back to single-device placement."""
         if use_layout_model and layout_variables is None:
             raise ValueError("use_layout_model=True requires layout_variables")
         self.alphabet = alphabet
@@ -145,6 +153,15 @@ class OcrPipeline:
 
         det_model = DetectionModel()
         rec_model = RecognitionModel(n_classes=len(alphabet) + 1)
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel import batch_sharding, replicate_tree
+
+            self._batch_sharding = batch_sharding(mesh)
+            det_variables = replicate_tree(det_variables, mesh)
+            rec_variables = replicate_tree(rec_variables, mesh)
+            if layout_variables is not None:
+                layout_variables = replicate_tree(layout_variables, mesh)
         self._det_vars = det_variables
         self._rec_vars = rec_variables
         self._det_fwd = jax.jit(
@@ -233,6 +250,13 @@ class OcrPipeline:
         )
 
     # ------------------------------------------------------------- stages
+
+    def _put(self, arr: np.ndarray):
+        """Device-put a batch: sharded along the leading axis when a mesh
+        is configured and the dim divides it, single-device otherwise."""
+        if self.mesh is not None and arr.shape[0] % self.mesh.size == 0:
+            return jax.device_put(arr, self._batch_sharding)
+        return jnp.asarray(arr)
 
     def _unpack_mask(self, packed: np.ndarray) -> np.ndarray:
         """[H, ceil(W/8)] packed bits -> [H, W] uint8 binary mask."""
@@ -378,7 +402,7 @@ class OcrPipeline:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, det_h, det_w, 1), np.float32)]
                 )
-            packed = np.asarray(self._det_mask(self._det_vars, jnp.array(chunk)))
+            packed = np.asarray(self._det_mask(self._det_vars, self._put(chunk)))
             for row in range(min(det_batch, n_pages - start)):
                 p = start + row
                 h, w = images[p].shape[:2]
@@ -439,7 +463,7 @@ class OcrPipeline:
             orders[p] = order
             boxes_all[p] = boxes
             counts[p] = k
-        probs = np.asarray(self._layout_fwd(self._layout_vars, jnp.array(padded)))
+        probs = np.asarray(self._layout_fwd(self._layout_vars, self._put(padded)))
         page_lines = []
         for p in range(n_pages):
             if orders[p] is None:
@@ -490,7 +514,7 @@ class OcrPipeline:
                     lens[row] = wi // 4
                 decoded, dec_lens = jax.device_get(
                     self._rec_decode(
-                        self._rec_vars, jnp.array(batch), jnp.array(lens)
+                        self._rec_vars, self._put(batch), self._put(lens)
                     )
                 )
                 for row, i in enumerate(rows):

@@ -134,6 +134,36 @@ class TestBatchedServing:
         results = pipe.run_batch([blank, blank], det_batch=2, rec_batch=2)
         assert results == [[], []]
 
+    def test_run_batch_on_mesh_matches_single_device(self):
+        # Multi-chip serving: the same batch over an 8-device data mesh
+        # must produce the single-device path's exact output.
+        import pytest
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from ocrs_models_tpu.parallel import create_mesh
+
+        det = DetectionModel()
+        rec = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
+        det_vars = det.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)), train=False)
+        rec_vars = rec.init(jax.random.key(1), jnp.zeros((1, 64, 64, 1)), train=False)
+        from ocrs_models_tpu.data import SyntheticDetection
+
+        images = [
+            SyntheticDetection(size=1, page_size=(256, 192), seed=s)[0]["image"]
+            for s in (5, 6)
+        ]
+        plain = OcrPipeline(det_vars, rec_vars, det_size=(128, 96))
+        sharded = OcrPipeline(
+            det_vars, rec_vars, det_size=(128, 96), mesh=create_mesh()
+        )
+        a = plain.run_batch(images, det_batch=8, rec_batch=8)
+        b = sharded.run_batch(images, det_batch=8, rec_batch=8)
+        for pa, pb in zip(a, b):
+            assert [ln.text for ln in pa] == [ln.text for ln in pb]
+            for la, lb in zip(pa, pb):
+                np.testing.assert_allclose(la.box, lb.box, rtol=1e-5, atol=1e-4)
+
     def test_recognize_crops_matches_recognize_lines(self):
         pipe = self._pipe(width_step=64)
         img = np.random.default_rng(0).uniform(

@@ -132,6 +132,7 @@ class OcrPipeline:
         threshold: float = 0.5,
         layout_pad_words: int = 500,
         mesh: Optional[jax.sharding.Mesh] = None,
+        compute_dtype: jnp.dtype = jnp.float32,
     ):
         """``mesh``: optional 1-D data mesh for multi-chip serving — model
         variables are replicated and every fixed-shape serving batch
@@ -139,7 +140,14 @@ class OcrPipeline:
         sharded along its leading axis, letting GSPMD run inference
         data-parallel across chips. Batches whose leading dim does not
         divide the mesh (e.g. the single-image latency path's exact-size
-        buckets) fall back to single-device placement."""
+        buckets) fall back to single-device placement.
+
+        ``compute_dtype``: matmul/conv operand dtype for the detection and
+        recognition forwards. float32 (default) bit-matches the reference's
+        fp32 inference for checkpoint parity; bfloat16 is the MXU-native
+        serving fast path (params stay f32; text agreement vs f32 measured
+        in tools/serve_bench.py). The layout transformer stays f32 — it is
+        a negligible share of serving time."""
         if use_layout_model and layout_variables is None:
             raise ValueError("use_layout_model=True requires layout_variables")
         self.alphabet = alphabet
@@ -151,8 +159,10 @@ class OcrPipeline:
         self.use_layout_model = use_layout_model
         self.layout_pad_words = layout_pad_words
 
-        det_model = DetectionModel()
-        rec_model = RecognitionModel(n_classes=len(alphabet) + 1)
+        det_model = DetectionModel(dtype=compute_dtype)
+        rec_model = RecognitionModel(
+            n_classes=len(alphabet) + 1, dtype=compute_dtype
+        )
         self.mesh = mesh
         if mesh is not None:
             from .parallel import batch_sharding, replicate_tree

@@ -174,6 +174,27 @@ def main(n_pages: int = 32, det_epochs: int = 25, rec_epochs: int = 40):
         2,
     )
     results["batched_stage_ms_per_page"] = _profile_batched(pipe, images)
+
+    # bf16 serving fast path: batched throughput + text agreement vs f32.
+    import jax.numpy as jnp
+
+    pipe16 = OcrPipeline(det_vars, rec_vars, compute_dtype=jnp.bfloat16)
+    _ = pipe16.run_batch(images[:2])  # warm-up/compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out16 = pipe16.run_batch(images)
+        best = min(best, time.perf_counter() - t0)
+    texts16 = [[ln.text for ln in page] for page in out16]
+    match16 = sum(
+        ta == tb for pa, pb in zip(texts_b, texts16) for ta, tb in zip(pa, pb)
+    )
+    results["batched_bf16"] = {
+        "pages_per_sec": round(n_pages / best, 2),
+        "ms_per_page": round(1e3 * best / n_pages, 2),
+        "lines_vs_f32": f"{match16}/{n_lines} identical texts",
+        "n_lines_bf16": sum(len(p) for p in texts16),
+    }
     print(json.dumps(results))
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .platform import is_single_chip_tpu
+
 from .pallas.ctc_kernel import NEG_INF as _NEG_INF
 from .pallas.ctc_kernel import _lse3
 
@@ -28,7 +30,7 @@ def _resolve_backend(backend: str) -> str:
     per-device call and is what kills the T-step launch latency)."""
     if backend != "auto":
         return backend
-    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+    if is_single_chip_tpu():
         return "pallas"
     return "scan"
 

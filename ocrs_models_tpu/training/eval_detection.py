@@ -37,6 +37,12 @@ def main(argv=None):
     parser.add_argument("out_basename")
     args = parser.parse_args(argv)
 
+    # Fail fast (with a diagnostic) instead of hanging if the TPU runtime
+    # is wedged — a bounded subprocess probe, see utils/backend.py.
+    from ..utils.backend import ensure_backend
+
+    ensure_backend()
+
     cfg = DetectionTrainConfig()
     model = DetectionModel()
     state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 64, 64, 1)))

@@ -47,6 +47,12 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    # Fail fast (with a diagnostic) instead of hanging if the TPU runtime
+    # is wedged — a bounded subprocess probe, see utils/backend.py.
+    from ..utils.backend import ensure_backend
+
+    ensure_backend()
+
     model = LayoutModel(return_probs=True)
     state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 8, 4)))
     state, _ = load_checkpoint(args.checkpoint, state)

@@ -70,6 +70,12 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    # Fail fast (with a diagnostic) instead of hanging if the TPU runtime
+    # is wedged — a bounded subprocess probe, see utils/backend.py.
+    from ..utils.backend import ensure_backend
+
+    ensure_backend()
+
     cfg = LayoutTrainConfig()
     batch_size = args.batch_size or cfg.batch_size
     seed = cfg.seed

@@ -12,6 +12,11 @@ re-updated after ``import jax`` (before any backend initialization).
 
 import os
 
+# CLIs probe backend availability in a subprocess (utils/backend.py); the
+# subprocess would not inherit the jax.config CPU pin below and would try
+# to reach the axon TPU — skip the probe under tests.
+os.environ.setdefault("OCRS_TPU_BACKEND_PROBE", "0")
+
 # Must precede the first jax backend initialization.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

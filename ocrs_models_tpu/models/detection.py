@@ -23,33 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.platform import is_single_chip_tpu
+
 # Levels with at most this many channels run channels-first.
 _CHANNELS_FIRST_MAX = 32
-
-
-def _fused_chain_mode() -> str | None:
-    """Fused conv-chain policy — opt-in via ``OCRS_TPU_FUSED_CONV``.
-
-    NOTE: read at TRACE time. jit caches are keyed on arguments, not env
-    vars, so the flag must be set before the first compiled step of a
-    process; flipping it later silently keeps the already-compiled path.
-
-    ``1``: run the split-BN Pallas chain (ops/pallas/conv_chain.py) on a
-    single real TPU, with the previous block's BN+ReLU applied as the
-    kernel prologue. ``xf``: same kernels but every BN+ReLU applied
-    between kernels by an XLA elementwise pass (one extra HBM pass per
-    block; avoids the in-kernel prologue constructs). ``interp`` /
-    ``interp-xf``: interpret mode on any backend (tests). Returns
-    ``"tpu"``, ``"xf"``, ``"interp"``, ``"interp-xf"`` or None.
-    """
-    import os
-
-    val = os.environ.get("OCRS_TPU_FUSED_CONV")
-    if val in ("interp", "interp-xf"):
-        return val
-    if val in ("1", "xf") and jax.default_backend() == "tpu" and len(jax.devices()) == 1:
-        return "tpu" if val == "1" else "xf"
-    return None
 
 
 def _dw_init(key, shape, dtype=jnp.float32):
@@ -152,15 +129,7 @@ class DepthwiseConv(nn.Module):
         self,
         x: jnp.ndarray,
         train: bool,
-        fold_in: tuple[jnp.ndarray, jnp.ndarray] | None = None,
-        defer_bn: bool = False,
     ):
-        """Standard call: activated output. Chain call (``defer_bn=True``,
-        channels-first only): run the fused split-BN Pallas kernel
-        (ops/pallas/conv_chain.py) — applying the *previous* block's BN
-        fold + ReLU as the kernel prologue when ``fold_in`` is given — and
-        return ``(y_pre, fold_out)`` where ``fold_out = (inv, bias')`` are
-        this block's BN fold scalars for the next stage to apply."""
         cf = self.channels_first
         in_ch = x.shape[1] if cf else x.shape[-1]
         dw_kernel = self.param("dw_kernel", _dw_init, (3, 3, 1, in_ch))
@@ -171,27 +140,6 @@ class DepthwiseConv(nn.Module):
         xc = x.astype(dt)
         wd = dw_kernel.astype(dt)
         wp = pw_kernel.astype(dt)
-
-        if defer_bn:
-            from ..ops.pallas.conv_chain import conv_chain
-
-            assert cf, "chain protocol is channels-first only"
-            n, c, h, w = xc.shape
-            wd_cf = jnp.transpose(dw_kernel[:, :, 0, :], (2, 0, 1))
-            if fold_in is None:
-                inv = jnp.ones((c,), jnp.float32)
-                bias = jnp.zeros((c,), jnp.float32)
-            else:
-                inv, bias = fold_in
-            y, s1, s2 = conv_chain(
-                xc, inv, bias, wd_cf, pw_kernel,
-                fold_in is not None,
-                _fused_chain_mode() in ("interp", "interp-xf"),
-            )
-            fold_out = BatchNormLite(
-                momentum=0.9, epsilon=1e-5, axis=1, name="bn"
-            )(None, not train, moments=(s1, s2, n * h * w))
-            return y, fold_out
 
         if cf:
             n, c, h, w = xc.shape
@@ -233,23 +181,14 @@ class DepthwiseConv(nn.Module):
         return nn.relu(xc)
 
 
-def _apply_fold(y: jnp.ndarray, fold) -> jnp.ndarray:
-    """``relu(bn(y))`` from fold scalars, in y's dtype. XLA fuses this
-    elementwise tail into whatever consumes it (pool, concat, out_conv)."""
-    inv, bias = fold
-    return nn.relu(
-        y * inv[None, :, None, None].astype(y.dtype)
-        + bias[None, :, None, None].astype(y.dtype)
-    )
-
 
 class DoubleConv(nn.Module):
     """Two stacked depthwise-separable conv blocks (reference models.py:31-41).
 
-    When the fused-chain policy is on (channels-first levels, supported
-    geometry), the two blocks run as two split-BN Pallas kernel calls with
-    the intermediate tensor touched exactly twice, and the final BN+ReLU
-    left to XLA to fuse into this module's consumers."""
+    (The split-BN fused conv-chain Pallas path that once hung off this
+    module lost its A/B to XLA's own fusions at all detection channel
+    counts and was deleted — measurements in docs/det_perf.md, code in
+    git history.)"""
 
     features: int
     dtype: jnp.dtype = jnp.float32
@@ -263,38 +202,6 @@ class DoubleConv(nn.Module):
         conv1 = DepthwiseConv(
             self.features, self.dtype, self.channels_first, name="conv1"
         )
-        # Chain only the train step: eval-mode BN folds from running stats
-        # and XLA already fuses it well (measured: untuned chain eval fwd
-        # 69 ms vs 35 ms XLA at batch 8) — the chain's structural win is
-        # eliminating the train-time batch-stat passes.
-        if self.channels_first and train and _fused_chain_mode() is not None:
-            from ..ops.pallas.conv_chain import chain_shapes_supported
-
-            n, c, h, w = x.shape
-            f = self.features
-            isz = jnp.dtype(self.dtype).itemsize
-            chain0 = chain_shapes_supported(c, f, h, w, isz)
-            chain1 = chain_shapes_supported(f, f, h, w, isz)
-            xf = _fused_chain_mode() in ("xf", "interp-xf")
-            # Degrade per-conv: a block outside the kernel's geometry gate
-            # runs the standard XLA path; its neighbour still chains with
-            # fold_in=None (activated input) / an XLA-applied fold.
-            if chain0 and chain1:
-                y0, fold0 = conv0(x, train, defer_bn=True)
-                if xf:
-                    y1, fold1 = conv1(
-                        _apply_fold(y0, fold0), train, defer_bn=True
-                    )
-                else:
-                    y1, fold1 = conv1(y0, train, fold_in=fold0, defer_bn=True)
-                return _apply_fold(y1, fold1)
-            if chain0:
-                y0, fold0 = conv0(x, train, defer_bn=True)
-                return conv1(_apply_fold(y0, fold0), train)
-            if chain1:
-                x = conv0(x, train)
-                y1, fold1 = conv1(x, train, defer_bn=True)
-                return _apply_fold(y1, fold1)
         x = conv0(x, train)
         return conv1(x, train)
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.gru import BiGRU
+from ..ops.platform import effective_platform, is_single_chip_tpu
 from .detection import BatchNormLite
 
 
@@ -48,7 +49,7 @@ def _resolve_conv_backend(backend: str) -> str:
     docs/rec_perf.md round 3)."""
     if backend != "auto":
         return backend
-    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+    if is_single_chip_tpu():
         return "fused"
     return "xla"
 
@@ -71,10 +72,9 @@ class RecognitionModel(nn.Module):
     # "auto" picks the Pallas fused-recurrence kernel on single-chip TPU
     # and lax.scan elsewhere; "pallas"/"scan" force a backend.
     gru_backend: str = "auto"
-    # Conv-stack backend: "auto" | "fused" | "fused2" | "xla". "fused"
-    # uses the Pallas stage-1 conv+relu+pool kernel; "fused2" adds the
-    # stage-2 bnpool kernel (pool-statistics BN fusion). Interpret mode
-    # off-TPU for tests.
+    # Conv-stack backend: "auto" | "fused" | "xla". "fused" uses the
+    # Pallas stage-1 conv+relu+pool kernel (interpret mode off-TPU for
+    # tests); "xla" the plain conv path.
     conv_backend: str = "auto"
 
     @nn.compact
@@ -103,7 +103,7 @@ class RecognitionModel(nn.Module):
             from ..ops.pallas.stage1_kernel import stage1_fused
 
             kernel, bias = _Stage1Params(32, name="conv0")()
-            interpret = jax.default_backend() != "tpu"
+            interpret = effective_platform() != "tpu"
             x = stage1_fused(x, kernel, bias, interpret, dt)
         else:
             x = nn.Conv(32, (3, 3), padding=p1, dtype=dt, name="conv0")(x)
@@ -111,30 +111,13 @@ class RecognitionModel(nn.Module):
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # Stage 2: -> 16 x W/4
         x = nn.Conv(64, (3, 3), padding=p1, use_bias=False, dtype=dt, name="conv3")(x)
-        if conv_backend == "fused2" and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            # Fused pool-statistics kernel: BN + 2x2 maxpool + relu in
-            # one HBM pass over the conv output (pool reassociated ahead
-            # of the per-channel affine via the pooled max/min pair —
-            # ops/pallas/bnpool_kernel.py). BatchNormLite's moments path
-            # keeps the bn4 param/batch-stats tree unchanged.
-            from ..ops.pallas.bnpool_kernel import bnpool_apply, bnpool_stats
-
-            interpret = jax.default_backend() != "tpu"
-            ny, hy, wy, _ = x.shape
-            pmax, pmin, s1, s2 = bnpool_stats(x, interpret)
-            inv, sh = BatchNormLite(
-                momentum=0.9, epsilon=1e-5, axis=-1, name="bn4"
-            )(
-                None,
-                use_running_average=not train,
-                moments=(s1, s2, ny * hy * wy),
-            )
-            x = bnpool_apply(pmax, pmin, inv, sh)
-        else:
-            # Pool BEFORE relu (bit-identical: max-pool commutes with the
-            # monotone relu) so the activation pass touches 4x fewer bytes.
-            x = nn.max_pool(bn("bn4")(x).astype(dt), (2, 2), strides=(2, 2))
-            x = nn.relu(x)
+        # Pool BEFORE relu (bit-identical: max-pool commutes with the
+        # monotone relu) so the activation pass touches 4x fewer bytes.
+        # (A fused BN+pool+relu Pallas kernel for this stage was built and
+        # A/B'd — it lost to XLA's fusion at every shape and was deleted;
+        # numbers in docs/rec_perf.md, code in git history.)
+        x = nn.max_pool(bn("bn4")(x).astype(dt), (2, 2), strides=(2, 2))
+        x = nn.relu(x)
         # Stage 3: -> 8 x W/4
         x = nn.Conv(128, (3, 3), padding=p1, dtype=dt, name="conv7")(x)
         x = nn.relu(x)

@@ -28,6 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .platform import effective_platform, is_single_chip_tpu
+
 
 def _resolve_backend(backend: str) -> str:
     """'auto' -> 'pallas4' on a single-device TPU process, else 'scan'.
@@ -36,12 +38,13 @@ def _resolve_backend(backend: str) -> str:
     recurrence stays on the scan path until it is wrapped in shard_map
     (single-chip is where the kernel-launch overhead matters most anyway).
     'pallas4' is the zero-relayout kernel — measured fastest (30.0 ms
-    wide-bucket step vs 32.2 for v1; v2/v3 chunking variants both lost,
-    docs/rec_perf.md round 3); v1/v2/v3 stay selectable for tuning.
+    wide-bucket step vs 32.2 for v1; the v1/v2/v3 variants lost their
+    A/Bs and were deleted — numbers in docs/rec_perf.md, code in git
+    history).
     """
     if backend != "auto":
         return backend
-    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+    if is_single_chip_tpu():
         return "pallas4"
     return "scan"
 
@@ -52,7 +55,7 @@ class GRUCellScan(nn.Module):
     hidden: int
     compute_dtype: jnp.dtype = jnp.float32
     unroll: int = 4
-    backend: str = "auto"  # "auto"|"pallas4"|"pallas3"|"pallas2"|"pallas"|"scan"
+    backend: str = "auto"  # "auto"|"pallas4"|"scan"
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
@@ -106,7 +109,7 @@ class GRUCellScan(nn.Module):
                 "ntf,fk->tnk", xs_c, wb_ih.astype(cdt), precision=prec,
                 preferred_element_type=jnp.float32,
             ) + bb_ih).astype(io_dt)
-            interpret = jax.default_backend() != "tpu"
+            interpret = effective_platform() != "tpu"
             ys_f, ys_b = gru_recurrence4(px_f, px_b, w_hh, b_hh, cdt, interpret)
             return jnp.concatenate(
                 [ys_f.transpose(1, 0, 2), ys_b.transpose(1, 0, 2)], axis=-1
@@ -125,43 +128,27 @@ class GRUCellScan(nn.Module):
         # Stack directions on a leading axis: [T, 2, N, 3H].
         px = jnp.stack([px_f, px_b], axis=0).transpose(2, 0, 1, 3)
 
-        if backend == "pallas3":
-            from .pallas.gru_kernel3 import gru_recurrence3
+        w_c = w_hh.astype(cdt)
 
-            interpret = jax.default_backend() != "tpu"
-            ys = gru_recurrence3(px, w_hh, b_hh, cdt, interpret)
-        elif backend == "pallas2":
-            from .pallas.gru_kernel2 import gru_recurrence2
+        def step(carry, x_t):
+            # carry: [2, N, H] float32; x_t: [2, N, 3H] float32
+            ph = jnp.einsum(
+                "dnh,dhk->dnk",
+                carry.astype(cdt),
+                w_c,
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            ) + b_hh[:, None, :]
+            xr, xz, xn = jnp.split(x_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(ph, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            cand = jnp.tanh(xn + r * hn)
+            new_h = (1.0 - z) * cand + z * carry
+            return new_h, new_h
 
-            interpret = jax.default_backend() != "tpu"
-            ys = gru_recurrence2(px, w_hh, b_hh, cdt, interpret)
-        elif backend == "pallas":
-            from .pallas.gru_kernel import gru_recurrence
-
-            interpret = jax.default_backend() != "tpu"
-            ys = gru_recurrence(px, w_hh, b_hh, cdt, interpret)
-        else:
-            w_c = w_hh.astype(cdt)
-
-            def step(carry, x_t):
-                # carry: [2, N, H] float32; x_t: [2, N, 3H] float32
-                ph = jnp.einsum(
-                    "dnh,dhk->dnk",
-                    carry.astype(cdt),
-                    w_c,
-                    precision=prec,
-                    preferred_element_type=jnp.float32,
-                ) + b_hh[:, None, :]
-                xr, xz, xn = jnp.split(x_t, 3, axis=-1)
-                hr, hz, hn = jnp.split(ph, 3, axis=-1)
-                r = jax.nn.sigmoid(xr + hr)
-                z = jax.nn.sigmoid(xz + hz)
-                cand = jnp.tanh(xn + r * hn)
-                new_h = (1.0 - z) * cand + z * carry
-                return new_h, new_h
-
-            h0 = jnp.zeros((2, n, h), jnp.float32)
-            _, ys = jax.lax.scan(step, h0, px, unroll=self.unroll)
+        h0 = jnp.zeros((2, n, h), jnp.float32)
+        _, ys = jax.lax.scan(step, h0, px, unroll=self.unroll)
 
         # ys: [T, 2, N, H]
         out_f = ys[:, 0].transpose(1, 0, 2)  # [N, T, H]

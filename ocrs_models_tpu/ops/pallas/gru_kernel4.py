@@ -249,3 +249,22 @@ def _vjp_bwd(compute_dtype, interpret, res, dys):
 
 
 gru_recurrence4.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def gru_recurrence_reference(px, w_hh, b_hh):
+    """``lax.scan`` reference implementation of the stacked-direction
+    recurrence contract (px [T, 2, N, 3H] -> ys [T, 2, N, H]) — the
+    numerical oracle the kernel tests compare against."""
+
+    def step(h, px_t):
+        ph = (
+            jnp.einsum("dnh,dhk->dnk", h, w_hh, preferred_element_type=jnp.float32)
+            + b_hh[:, None, :]
+        )
+        _, _, _, new_h, _ = _gates1(px_t, ph, h)
+        return new_h, new_h
+
+    t, d, n, h3 = px.shape
+    h0 = jnp.zeros((d, n, h3 // 3), jnp.float32)
+    _, ys = jax.lax.scan(step, h0, px)
+    return ys

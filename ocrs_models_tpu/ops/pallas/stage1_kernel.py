@@ -76,8 +76,16 @@ def _build_patches(slabs4, wp, dt):
 
 
 def _dot(a, b, contract=((1,), (0,))):
+    # Pin HIGHEST when the operands are f32 so the checkpoint-parity path
+    # (compute_dtype=float32) does not silently run at the MXU's default
+    # bf16-operand precision — mirrors gru_kernel4._dot.
+    prec = jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else None
     return jax.lax.dot_general(
-        a, b, (contract, ((), ())), preferred_element_type=jnp.float32
+        a,
+        b,
+        (contract, ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32,
     )
 
 

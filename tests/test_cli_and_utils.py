@@ -82,6 +82,7 @@ class TestCheckpoint:
 
 
 class TestTrainerCLIs:
+    @pytest.mark.slow
     def test_layout_trainer_synthetic(self, run_dir):
         from ocrs_models_tpu.training.train_layout import main
 
@@ -95,6 +96,7 @@ class TestTrainerCLIs:
         lines = open("text-layout-metrics.jsonl").readlines()
         assert any("train_loss" in line for line in lines)
 
+    @pytest.mark.slow
     def test_rec_trainer_and_eval(self, run_dir):
         from ocrs_models_tpu.training.train_rec import main
 
@@ -123,6 +125,7 @@ class TestTrainerCLIs:
         )
         assert os.path.exists("w.npz")
 
+    @pytest.mark.slow
     def test_eval_layout_cli(self, run_dir):
         from ocrs_models_tpu.training.train_layout import main as train_main
         from ocrs_models_tpu.training.eval_layout import main as eval_main

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from ocrs_models_tpu.ops.gru import BiGRU
-from ocrs_models_tpu.ops.pallas.gru_kernel import gru_recurrence_reference
+from ocrs_models_tpu.ops.pallas.gru_kernel4 import gru_recurrence_reference
 from ocrs_models_tpu.ops.pallas.gru_kernel4 import gru_recurrence4
 
 
@@ -59,6 +59,7 @@ def test_gradients_match_reference(t):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bigru_pallas4_backend_matches_scan():
     n, t, f, h = 4, 9, 12, 16
     x = jnp.array(np.random.default_rng(2).normal(size=(n, t, f)).astype(np.float32))

@@ -2,6 +2,8 @@
 Megatron-style shardings produce the same loss and updated params as the
 fully-replicated step (8 virtual CPU devices: 4 dp x 2 mp)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +32,7 @@ def _setup(n):
     return model, batch, state, step
 
 
+@pytest.mark.slow
 def test_tp_step_matches_replicated():
     n = 8
     model, batch, state, step = _setup(n)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocrs_models_tpu.config import DEFAULT_ALPHABET
 from ocrs_models_tpu.models import DetectionModel, RecognitionModel
@@ -134,6 +135,7 @@ class TestBatchedServing:
         results = pipe.run_batch([blank, blank], det_batch=2, rec_batch=2)
         assert results == [[], []]
 
+    @pytest.mark.slow
     def test_run_batch_on_mesh_matches_single_device(self):
         # Multi-chip serving: the same batch over an 8-device data mesh
         # must produce the single-device path's exact output.

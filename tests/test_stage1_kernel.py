@@ -79,6 +79,7 @@ class TestModelIntegration:
         yf = m_f.apply(v, x)
         np.testing.assert_allclose(np.asarray(yf), np.asarray(yx), rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_fused_backend_grads_match(self):
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 64, 64, 1)).astype(np.float32))

@@ -67,6 +67,26 @@ class TestDetectionParity:
         theirs = theirs.detach().numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=2e-5)
 
+    @pytest.mark.slow
+    def test_forward_parity_full_resolution(self, rng):
+        """Import parity at the FULL trained page shape, 800x600
+        (reference train_detection.py:22-24: mask_height=800, width=600) —
+        the shape published checkpoints were trained at and eval_detection
+        runs at. Small-page parity does not imply full-res parity: the
+        deeper pyramid levels (25x18, 12x9) and their ConvTranspose trim
+        paths only materialize at real page sizes."""
+        tm = ref_models.DetectionModel()
+        tm.eval()
+        variables = import_detection_state_dict(tm.state_dict())
+
+        x = rng.uniform(-0.5, 0.5, size=(1, 800, 600, 1)).astype(np.float32)
+        ours = DetectionModel().apply(variables, jnp.array(x), train=False)
+        with torch.no_grad():
+            theirs = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
+        theirs = theirs.detach().numpy().transpose(0, 2, 3, 1)
+        assert ours.shape == theirs.shape == (1, 800, 600, 1)
+        np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=2e-5)
+
 
 class TestRecognitionParity:
     def test_forward_parity(self, rng):

@@ -1,6 +1,8 @@
 """End-to-end train/eval steps on a virtual 8-device CPU mesh — the same
 data-parallel path the driver dry-runs for multi-chip validation."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +27,7 @@ from ocrs_models_tpu.training.steps import (
 )
 
 
+@pytest.mark.slow
 def test_recognition_train_step_on_mesh():
     mesh = create_mesh()
     assert mesh.size == 8
@@ -58,6 +61,7 @@ def test_recognition_train_step_on_mesh():
     assert ev["preds"].shape == (batch["image"].shape[0], t_expect)
 
 
+@pytest.mark.slow
 def test_shard_map_recognition_step_matches_manual_psum():
     """The mesh= (shard_map manual-SPMD) path — the exact code
     dryrun_multichip runs — must equal a per-shard emulation: per-device
@@ -148,6 +152,7 @@ def test_shard_map_recognition_step_matches_manual_psum():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_recognition_loss_decreases_when_overfitting():
     mesh = create_mesh(num_devices=1)
     model = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1)
@@ -166,6 +171,7 @@ def test_recognition_loss_decreases_when_overfitting():
     assert float(metrics["loss"]) < first
 
 
+@pytest.mark.slow
 def test_detection_train_step_on_mesh():
     mesh = create_mesh()
     model = DetectionModel()

@@ -45,39 +45,111 @@ from ocrs_models_tpu.utils.text import decode_text, levenshtein
 
 class SyntheticTextPages:
     """White 800x600 pages with real rendered text lines pasted at random
-    rows; ground truth is the per-line box + text."""
+    rows; ground truth is the per-line box + text.
 
-    def __init__(self, size: int, seed: int = 0, page: tuple[int, int] = (800, 600)):
+    ``hard=True`` moves the pages toward HierText realism (VERDICT round-3
+    item 8): per-page illumination gradient + gaussian sensor noise, a
+    wider multi-scale line range (0.35-1.1 vs 0.5-0.9), small line
+    rotations (up to ±3°, within the reference's "horizontal" line filter
+    tolerance — rotated ground truth becomes a true quad), and a
+    two-column layout on half the pages."""
+
+    def __init__(
+        self,
+        size: int,
+        seed: int = 0,
+        page: tuple[int, int] = (800, 600),
+        hard: bool = False,
+    ):
         self.size = size
         self.seed = seed
         self.page = page
-        self._lines = SyntheticRecognition(size=size * 8, seed=seed, max_chars=12)
+        self.hard = hard
+        self._lines = SyntheticRecognition(size=size * 10, seed=seed, max_chars=12)
 
     def __len__(self):
         return self.size
+
+    def _paste(self, rng, img, crop, x0, y0, angle):
+        """Paste (optionally rotated) crop; return (GT quad, pasted height)."""
+        oh, ow = crop.shape[:2]  # pre-rotation extents
+        if angle:
+            from PIL import Image
+
+            pil = Image.fromarray(crop[..., 0], mode="F")
+            pil = pil.rotate(
+                angle, resample=Image.BILINEAR, expand=True, fillcolor=0.45
+            )
+            crop = np.asarray(pil, np.float32)[..., None]
+        nh, nw = crop.shape[:2]
+        h, w = img.shape[:2]
+        nh, nw = min(nh, h - y0), min(nw, w - x0)
+        img[y0 : y0 + nh, x0 : x0 + nw] = np.minimum(
+            img[y0 : y0 + nh, x0 : x0 + nw], crop[:nh, :nw]
+        )
+        if not angle:
+            return [(x0, y0), (x0 + nw, y0), (x0 + nw, y0 + nh), (x0, y0 + nh)], nh
+        # GT quad = original rect corners rotated about the crop centre
+        # (PIL rotates about the centre, then expands symmetrically).
+        a = np.deg2rad(-angle)  # PIL rotates counter-clockwise
+        c, s = np.cos(a), np.sin(a)
+        cy, cx = nh / 2.0, nw / 2.0
+        quad = [
+            (x0 + cx + dx * c - dy * s, y0 + cy + dx * s + dy * c)
+            for dx, dy in (
+                (-ow / 2, -oh / 2),
+                (ow / 2, -oh / 2),
+                (ow / 2, oh / 2),
+                (-ow / 2, oh / 2),
+            )
+        ]
+        return quad, nh
 
     def build(self, idx: int):
         rng = np.random.default_rng(self.seed * 7919 + idx)
         h, w = self.page
         img = np.full((h, w, 1), 0.45, np.float32)  # near-white
+        two_col = self.hard and rng.uniform() < 0.5
+        col_w = (w - 40) // 2 if two_col else w
         polys, texts = [], []
-        y = 30
-        k = 0
-        while y < h - 80 and k < 8:
-            line = self._lines[idx * 8 + k]
-            crop, text = line["image"], line["text"]
-            lh, lw = crop.shape[:2]
-            scale = rng.uniform(0.5, 0.9)
-            nh, nw = int(lh * scale), int(lw * scale)
-            from ocrs_models_tpu.data.augment import resize
+        from ocrs_models_tpu.data.augment import resize
 
-            crop = resize(crop, (nh, nw))
-            x0 = int(rng.integers(20, max(21, w - nw - 20)))
-            img[y : y + nh, x0 : x0 + nw] = crop
-            polys.append([(x0, y), (x0 + nw, y), (x0 + nw, y + nh), (x0, y + nh)])
-            texts.append(decode_text(text, DEFAULT_ALPHABET))
-            y += nh + int(rng.integers(20, 60))
-            k += 1
+        k = 0
+        max_lines = 10 if self.hard else 8
+        for col in range(2 if two_col else 1):
+            cx0 = 20 + col * (col_w + 10) if two_col else 0
+            y = 30
+            while y < h - 80 and k < max_lines:
+                line = self._lines[idx * 10 + k]
+                crop, text = line["image"], line["text"]
+                lh, lw = crop.shape[:2]
+                scale = rng.uniform(0.35, 1.1) if self.hard else rng.uniform(0.5, 0.9)
+                nh = max(12, int(lh * scale))
+                nw = max(12, int(lw * scale))
+                avail = col_w - 40 if two_col else w - 40
+                if nw > avail:
+                    nh = max(12, int(nh * avail / nw))
+                    nw = avail
+                crop = resize(crop, (nh, nw))
+                lo = cx0 + 20 if two_col else 20
+                hi = max(lo + 1, (cx0 + col_w if two_col else w) - nw - 20)
+                x0 = int(rng.integers(lo, hi))
+                angle = float(rng.uniform(-3, 3)) if self.hard else 0.0
+                quad, ph = self._paste(rng, img, crop, x0, y, angle)
+                polys.append(quad)
+                texts.append(decode_text(text, DEFAULT_ALPHABET))
+                y += ph + int(rng.integers(20, 60))
+                k += 1
+        if self.hard:
+            # Illumination gradient + gaussian sensor noise.
+            gy = rng.uniform(-0.04, 0.04)
+            gx = rng.uniform(-0.04, 0.04)
+            ramp = (
+                np.linspace(-gy, gy, h)[:, None, None]
+                + np.linspace(-gx, gx, w)[None, :, None]
+            )
+            img = img + ramp + rng.normal(0, 0.02, img.shape)
+            img = np.clip(img, -0.5, 0.5).astype(np.float32)
         return img, polys, texts
 
     def __getitem__(self, idx: int) -> dict:
@@ -256,13 +328,20 @@ def main():
         "against the heuristic, and run the pipeline with it",
     )
     ap.add_argument("--layout-epochs", type=int, default=60)
+    ap.add_argument(
+        "--hard",
+        action="store_true",
+        help="HierText-realism pages: noise + illumination gradient, "
+        "multi-scale lines (0.35-1.1), rotated lines (±3°, quad GT), "
+        "two-column layouts",
+    )
     args = ap.parse_args()
 
-    pages = SyntheticTextPages(args.pages, seed=0)
+    pages = SyntheticTextPages(args.pages, seed=0, hard=args.hard)
     det_vars = train_detection(pages, args.det_epochs, batch=8)
     rec_vars = train_recognition(args.rec_samples, args.rec_epochs, batch=48)
 
-    eval_pages = SyntheticTextPages(args.eval_pages, seed=99)
+    eval_pages = SyntheticTextPages(args.eval_pages, seed=99, hard=args.hard)
     pipe = OcrPipeline(det_vars, rec_vars)
     out = score_pipeline(pipe, eval_pages, args.eval_pages)
 

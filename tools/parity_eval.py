@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--det", type=str, help="reference detection checkpoint (.pt)")
     ap.add_argument("--rec", type=str, help="reference recognition checkpoint (.pt)")
     ap.add_argument("--samples", type=int, default=4)
+    ap.add_argument(
+        "--det-size",
+        type=str,
+        default="800x600",
+        help="detection input HxW; default = the full trained page shape "
+        "(reference train_detection.py:22-24)",
+    )
     args = ap.parse_args()
     if not (args.det or args.rec):
         ap.error("provide --det and/or --rec")
@@ -81,7 +88,8 @@ def main():
         sd = ckpt["model_state"] if "model_state" in ckpt else ckpt
         variables = import_detection_state_dict(sd)
         model = DetectionModel()
-        x = rng.uniform(-0.5, 0.5, (1, 256, 192, 1)).astype(np.float32)
+        h, w = (int(v) for v in args.det_size.split("x"))
+        x = rng.uniform(-0.5, 0.5, (1, h, w, 1)).astype(np.float32)
         ours = np.asarray(model.apply(variables, jnp.array(x), train=False))
         report["det_output_shape"] = list(ours.shape)
         if TorchDet is not None:

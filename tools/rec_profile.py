@@ -37,7 +37,7 @@ def main():
     from ocrs_models_tpu.config import DEFAULT_ALPHABET
     from ocrs_models_tpu.models import RecognitionModel
     from ocrs_models_tpu.ops.ctc import ctc_loss_forward
-    from ocrs_models_tpu.ops.pallas.gru_kernel import gru_recurrence
+    from ocrs_models_tpu.ops.pallas.gru_kernel4 import gru_recurrence_reference
     from ocrs_models_tpu.training.state import create_train_state
     from ocrs_models_tpu.training.steps import make_recognition_steps
 
@@ -69,12 +69,12 @@ def main():
     )
     w_hh = jnp.asarray(rng.standard_normal((2, 256, 768)).astype(np.float32) * 0.05)
     b_hh = jnp.zeros((2, 768), jnp.float32)
-    gru = jax.jit(lambda px, w, b: gru_recurrence(px, w, b, jnp.bfloat16, False))
+    gru = jax.jit(lambda px, w, b: gru_recurrence_reference(px, w, b))
     t_gru = timeit(gru, px, w_hh, b_hh)
-    print(f"gru fwd (1 layer):   {t_gru*1e3:7.2f} ms", flush=True)
+    print(f"gru scan fwd (1 layer):   {t_gru*1e3:7.2f} ms", flush=True)
 
     gru_grad = jax.jit(
-        jax.grad(lambda px, w, b: jnp.sum(gru_recurrence(px, w, b, jnp.bfloat16, False)))
+        jax.grad(lambda px, w, b: jnp.sum(gru_recurrence_reference(px, w, b)))
     )
     t_gru_g = timeit(gru_grad, px, w_hh, b_hh)
     print(f"gru fwd+bwd (1 layer): {t_gru_g*1e3:6.2f} ms", flush=True)

@@ -22,6 +22,7 @@ import optax
 
 from ..ops.ctc import ctc_loss_forward
 from ..ops.losses import balanced_cross_entropy_loss, weighted_bce_with_logits
+from ..ops.platform import effective_platform
 
 
 def layer_grad_norms(grads) -> dict:
@@ -34,7 +35,13 @@ def layer_grad_norms(grads) -> dict:
 # ------------------------------ recognition ------------------------------
 
 
-def make_recognition_steps(model, downsample: int = 4, mesh=None, axis: str = "data"):
+def make_recognition_steps(
+    model,
+    downsample: int = 4,
+    mesh=None,
+    axis: str = "data",
+    force_shard_map: bool = False,
+):
     """Build (train_step, eval_step) for the CRNN recognizer.
 
     Batch fields: ``image`` [N,64,W,1] float, ``text`` [N,L] int32 (blank
@@ -45,13 +52,15 @@ def make_recognition_steps(model, downsample: int = 4, mesh=None, axis: str = "d
     (manual SPMD: per-device batch shard, explicit ``psum`` of loss
     numerator/denominator and gradients, ``pmean`` of batch stats) — this
     keeps the Pallas GRU kernel a per-device call on TPU. Without a mesh
-    (or size 1) it is a plain jit and GSPMD handles any sharding.
+    (or size 1) it is a plain jit and GSPMD handles any sharding;
+    ``force_shard_map=True`` builds the shard_map step even on a size-1
+    mesh (used to exercise/measure the manual-SPMD path on one real chip).
     """
 
-    use_shard_map = mesh is not None and mesh.size > 1
+    use_shard_map = mesh is not None and (mesh.size > 1 or force_shard_map)
     if (
         use_shard_map
-        and jax.default_backend() == "tpu"
+        and effective_platform() == "tpu"
         and getattr(model, "gru_backend", None) == "auto"
     ):
         # Inside shard_map the recurrence is a per-device call, so the

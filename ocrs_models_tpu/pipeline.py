@@ -181,10 +181,11 @@ class OcrPipeline:
         # the binary mask for CC labeling, so fetch W/8 uint8 bytes per
         # row instead of W float32 probabilities — 64x less host<->device
         # traffic (the fetch, not the forward, dominates remote-attached
-        # inference; measured in tools/serve_bench.py).
-        thr = float(threshold)
-        self._det_mask = jax.jit(
-            lambda v, x: jnp.packbits(
+        # inference; measured in tools/serve_bench.py). The threshold is a
+        # traced argument, so mutating ``pipe.threshold`` takes effect on
+        # the next call without recompiling.
+        self._det_mask_jit = jax.jit(
+            lambda v, x, thr: jnp.packbits(
                 det_model.apply(v, x, train=False)[..., 0] > thr, axis=-1
             )
         )
@@ -208,6 +209,9 @@ class OcrPipeline:
             self._layout_fwd = jax.jit(
                 lambda v, x: layout_model.apply(v, x, train=False)
             )
+
+    def _det_mask(self, v, x):
+        return self._det_mask_jit(v, x, jnp.float32(self.threshold))
 
     @classmethod
     def from_checkpoints(

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.platform import is_single_chip_tpu
 
 # Levels with at most this many channels run channels-first.
 _CHANNELS_FIRST_MAX = 32

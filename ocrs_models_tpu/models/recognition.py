@@ -17,7 +17,6 @@ sharding than the reference's torch-RNN-legacy ``[T, N, C]``).
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..ops.gru import BiGRU

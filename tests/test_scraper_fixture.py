@@ -20,7 +20,6 @@ self-consistent rendition of the schema.
 import json
 from pathlib import Path
 
-import numpy as np
 import pytest
 
 FIXTURE_DIR = Path(__file__).parent / "data" / "scraper_fixture"
@@ -67,9 +66,6 @@ def test_extract_word_boxes_labels(content):
     assert boxes.shape == (n_words, 4) and labels.shape == (n_words, 2)
 
     texts = [w["text"] for p in content["paragraphs"] for w in p["words"]]
-    lab = {
-        (t, i): tuple(labels[i]) for i, t in enumerate(texts)
-    }
     # Heading line: start on first word, end on last.
     assert labels[texts.index("Example")].tolist() == [1.0, 0.0]
     assert labels[texts.index("article")].tolist() == [0.0, 1.0]

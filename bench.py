@@ -89,33 +89,41 @@ def _setup_jax_config():
         pass  # older jax without the persistent cache — run uncached
 
 
-_FORCE_CPU_SRC = (
-    "import os, jax; "
-    "os.environ.get('BENCH_FORCE_CPU') == '1' and "
-    "jax.config.update('jax_platforms', 'cpu'); "
-)
-_PROBE_SRC = _FORCE_CPU_SRC + (
-    "ds = jax.devices(); "
-    "print('platform=' + ds[0].platform + ' n=' + str(len(ds)), flush=True)"
-)
+def _backend_util():
+    """Load utils/backend.py as a standalone module — the shared probe
+    implementation — WITHOUT importing the ocrs_models_tpu package (whose
+    __init__ pulls in jax-heavy modules; the supervisor stays jax-free)."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "ocrs_models_tpu", "utils", "backend.py",
+    )
+    spec = importlib.util.spec_from_file_location("_bench_backend_util", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def probe_backend(timeout_s):
     """Initialize the jax backend in a throwaway subprocess. Returns
     (ok, detail). A hang or crash there cannot take this process down."""
+    util = _backend_util()
+    platform = "cpu" if os.environ.get("BENCH_FORCE_CPU") == "1" else None
     try:
-        res = subprocess.run(
-            [sys.executable, "-c", _PROBE_SRC],
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        return False, f"backend init hung >{timeout_s:.0f}s"
-    if res.returncode != 0:
-        tail = (res.stderr or "").strip().splitlines()
-        return False, (tail[-1][:200] if tail else f"probe rc={res.returncode}")
-    return True, (res.stdout or "").strip()
+        got = util.ensure_backend(timeout_s=timeout_s, platform=platform, force=True)
+        return True, f"platform={got}"
+    except util.BackendUnavailableError as e:
+        return False, str(e)[:200]
+
+
+def _headline_expected(argv):
+    """Mirrors the worker's section filter (guarded: run iff `only in
+    name`): the headline section only runs when the --task substring
+    matches its name."""
+    if "--task" not in argv:
+        return True
+    return argv[argv.index("--task") + 1] in "rec_headline_retry"
 
 
 def supervise(argv):
@@ -132,7 +140,7 @@ def supervise(argv):
     detail = ""
     for attempt in range(2):
         ok, detail = probe_backend(min(110.0, max(remaining() - 60.0, 20.0)))
-        if ok or remaining() < 90.0:
+        if ok or attempt == 1 or remaining() < 90.0:
             break
         print(f"[bench] probe attempt {attempt + 1} failed: {detail}; retrying",
               file=sys.stderr, flush=True)
@@ -183,10 +191,22 @@ def supervise(argv):
     with lock:
         headline = next((r for r in lines if r.get("metric") == HEADLINE), None)
         got_any = bool(lines)
+    why = "worker killed at deadline" if killed else f"worker rc={proc.returncode}"
     if headline is not None:
         print(json.dumps(headline), flush=True)
-    elif not got_any:
-        why = "worker killed at deadline" if killed else f"worker rc={proc.returncode}"
+    elif got_any and _headline_expected(argv):
+        # Some sections produced numbers but the headline never did — say
+        # so explicitly rather than leaving an arbitrary metric as the
+        # final (driver-parsed) line.
+        _emit(
+            "headline_unavailable",
+            0.0,
+            f"{len(lines)} non-headline metrics above, but the headline "
+            f"section never completed ({why})",
+        )
+    elif got_any:
+        pass  # --task filtered the headline out on purpose; lines stand.
+    else:
         _emit(
             "backend_unavailable",
             0.0,
@@ -533,26 +553,29 @@ def run_worker(argv):
     signal.signal(signal.SIGALRM, _alarm_handler)
 
     def guarded(name, fn, *args, timeout_s=150):
+        """Returns (status, result): status is "ok", "skipped" (filter or
+        deadline shed — the section never ran, its inputs are untouched)
+        or "failed" (ran and died — donated buffers may be gone)."""
         if only is not None and only not in name:
-            return None
+            return "skipped", None
         if deadline is not None:
             left = deadline - time.monotonic()
             if left < 30.0:
                 print(f"[bench] {name} skipped: {left:.0f}s left before the "
                       "global deadline", file=sys.stderr, flush=True)
-                return None
+                return "skipped", None
             timeout_s = int(min(timeout_s, left))
         signal.alarm(timeout_s)
         try:
-            return fn(*args)
+            return "ok", fn(*args)
         except SectionTimeout:
             print(f"[bench] {name} hit its {timeout_s}s watchdog; skipping",
                   file=sys.stderr, flush=True)
-            return None
+            return "failed", None
         except Exception:
             traceback.print_exc(file=sys.stderr)
             print(f"[bench] {name} failed; continuing", file=sys.stderr, flush=True)
-            return None
+            return "failed", None
         finally:
             signal.alarm(0)
 
@@ -571,11 +594,11 @@ def run_worker(argv):
             ("rec_wide", bench_rec_wide),
             ("rec_mixed", bench_rec_mixed),
         ):
-            new_state = guarded(name, fn, state, train_step)
-            if new_state is None:
+            status, new_state = guarded(name, fn, state, train_step)
+            if status == "failed":
                 # state may have been donated before the failure; rebuild.
                 state, train_step = _make_rec()
-            else:
+            elif status == "ok":
                 state = new_state
                 if name == "rec_headline":
                     headline_done = True

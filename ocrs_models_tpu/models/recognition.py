@@ -69,7 +69,7 @@ class RecognitionModel(nn.Module):
     # parity at inference.
     gru_dtype: jnp.dtype | None = None
     # "auto" picks the Pallas fused-recurrence kernel on single-chip TPU
-    # and lax.scan elsewhere; "pallas"/"scan" force a backend.
+    # and lax.scan elsewhere; "pallas4"/"scan" force a backend.
     gru_backend: str = "auto"
     # Conv-stack backend: "auto" | "fused" | "xla". "fused" uses the
     # Pallas stage-1 conv+relu+pool kernel (interpret mode off-TPU for

@@ -43,6 +43,11 @@ def _resolve_backend(backend: str) -> str:
     history).
     """
     if backend != "auto":
+        if backend not in ("pallas4", "scan"):
+            raise ValueError(
+                f"unknown gru backend {backend!r}; valid: auto|pallas4|scan "
+                "(the refuted v1-v3 kernels were deleted in round 4)"
+            )
         return backend
     if is_single_chip_tpu():
         return "pallas4"

@@ -25,7 +25,9 @@ class BackendUnavailableError(RuntimeError):
 
 
 _PROBE_SRC = (
-    "import jax; ds = jax.devices(); "
+    "import sys, jax; "
+    "len(sys.argv) > 1 and jax.config.update('jax_platforms', sys.argv[1]); "
+    "ds = jax.devices(); "
     "print(ds[0].platform + ':' + str(len(ds)), flush=True)"
 )
 
@@ -39,19 +41,31 @@ def _already_initialized() -> bool:
         return False
 
 
-def ensure_backend(timeout_s: float = 90.0) -> str | None:
+def ensure_backend(
+    timeout_s: float = 90.0,
+    platform: str | None = None,
+    force: bool = False,
+) -> str | None:
     """Probe backend init in a subprocess. Returns the platform string
     (``"tpu"``, ``"cpu"``, …) on success, ``None`` when the probe is
     skipped; raises :class:`BackendUnavailableError` with a diagnostic on
     hang or failure. Call this at the top of ``main()`` in CLIs, before
-    any jax work."""
-    if os.environ.get("OCRS_TPU_BACKEND_PROBE", "1") == "0":
-        return None
-    if _already_initialized():
-        return None
+    any jax work.
+
+    ``platform`` pins the probed backend via ``jax.config`` in the
+    subprocess (the env var is ineffective under this image's
+    sitecustomize). ``force=True`` probes even when the env opt-out is
+    set or a backend is already live in this process (used by the bench
+    supervisor, which never initializes jax itself)."""
+    if not force:
+        if os.environ.get("OCRS_TPU_BACKEND_PROBE", "1") == "0":
+            return None
+        if _already_initialized():
+            return None
     try:
         res = subprocess.run(
-            [sys.executable, "-c", _PROBE_SRC],
+            [sys.executable, "-c", _PROBE_SRC]
+            + ([platform] if platform else []),
             capture_output=True,
             text=True,
             timeout=timeout_s,

@@ -81,19 +81,21 @@ class SyntheticTextPages:
                 angle, resample=Image.BILINEAR, expand=True, fillcolor=0.45
             )
             crop = np.asarray(pil, np.float32)[..., None]
-        nh, nw = crop.shape[:2]
+        fh, fw = crop.shape[:2]  # full (unclamped) post-rotation extents
         h, w = img.shape[:2]
-        nh, nw = min(nh, h - y0), min(nw, w - x0)
+        nh, nw = min(fh, h - y0), min(fw, w - x0)
         img[y0 : y0 + nh, x0 : x0 + nw] = np.minimum(
             img[y0 : y0 + nh, x0 : x0 + nw], crop[:nh, :nw]
         )
         if not angle:
             return [(x0, y0), (x0 + nw, y0), (x0 + nw, y0 + nh), (x0, y0 + nh)], nh
         # GT quad = original rect corners rotated about the crop centre
-        # (PIL rotates about the centre, then expands symmetrically).
+        # (PIL rotates about the centre, then expands symmetrically). The
+        # centre uses the FULL expanded extents, not the page-edge-clamped
+        # paste dims, or bottom-of-page quads would shift upward.
         a = np.deg2rad(-angle)  # PIL rotates counter-clockwise
         c, s = np.cos(a), np.sin(a)
-        cy, cx = nh / 2.0, nw / 2.0
+        cy, cx = fh / 2.0, fw / 2.0
         quad = [
             (x0 + cx + dx * c - dy * s, y0 + cy + dx * s + dy * c)
             for dx, dy in (

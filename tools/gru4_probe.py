@@ -61,6 +61,6 @@ def probe_step(n, width, backend):
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
-    l1 = probe_step(128, 1024, "pallas")
+    l1 = probe_step(128, 1024, "scan")
     l4 = probe_step(128, 1024, "pallas4")
     print(f"loss agreement: v1 {l1:.6f}  v4 {l4:.6f}", flush=True)

@@ -57,7 +57,7 @@ def probe_step(n, width, gru_backend, conv_backend):
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
-    probe_step(128, 1024, "pallas", "fused")
+    probe_step(128, 1024, "scan", "fused")
     probe_step(128, 1024, "pallas4", "fused")
     probe_step(256, 256, "pallas4", "fused")   # headline shape
     probe_step(128, 512, "pallas4", "fused")   # mid bucket

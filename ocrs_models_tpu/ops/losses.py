@@ -67,9 +67,14 @@ def _top_k_sum(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
     Exact (up to float-tie resolution): 32-iteration bisection finds the
     threshold tau with ``count(x > tau) <= k``; entries above tau sum
-    directly and the remaining ``k - count`` slots are ties at tau. The
-    gradient flows through selected entries only (tau is stopped), matching
-    topk's subgradient.
+    directly and the remaining ``k - count`` slots come from the tie
+    value just below tau. Gradient: entries above tau get weight 1; the
+    remaining slots are split EQUALLY among the tied entries (weight
+    ``residual / n_ties`` each) — the symmetric subgradient of the same
+    function. torch's topk backward instead gives weight 1 to an
+    arbitrary ``residual``-sized subset of the ties; both are valid
+    subgradients with the same total mass, and they coincide whenever
+    the k-th value is unique (float ties are rare in practice).
     """
     x = x.ravel()
     kf = k.astype(x.dtype)
@@ -89,7 +94,16 @@ def _top_k_sum(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     _, tau = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
     selected = xs > tau
     n_sel = jnp.sum(selected).astype(x.dtype)
-    return jnp.sum(jnp.where(selected, x, 0.0)) + jnp.maximum(kf - n_sel, 0.0) * tau
+    residual = jnp.maximum(kf - n_sel, 0.0)
+    # Tie slots: the largest not-selected value stands in for tau (they
+    # agree to bisection precision), taken through the LIVE x so the tie
+    # elements receive gradient.
+    neg_inf = jnp.asarray(-jnp.inf, xs.dtype)
+    tie_val = jnp.max(jnp.where(selected, neg_inf, xs))
+    ties = (~selected) & (xs == tie_val)
+    n_ties = jnp.maximum(jnp.sum(ties).astype(x.dtype), 1.0)
+    tie_sum = jnp.sum(jnp.where(ties, x, 0.0))
+    return jnp.sum(jnp.where(selected, x, 0.0)) + (residual / n_ties) * tie_sum
 
 
 def weighted_bce_with_logits(

@@ -153,6 +153,26 @@ class TestBalancedBCE:
         v = float(f(pred, target))
         assert np.isfinite(v)
 
+    def test_top_k_sum_tie_value_and_gradient(self):
+        """Ties at the k-th value: the value is the exact top-k sum and
+        the gradient splits the residual slots equally among the tied
+        entries (symmetric subgradient; torch would give an arbitrary
+        residual-sized subset weight 1 — same total mass)."""
+        from ocrs_models_tpu.ops.losses import _top_k_sum
+
+        x = jnp.array([3.0, 2.0, 2.0, 2.0, 1.0])
+        k = jnp.int32(3)
+        assert float(_top_k_sum(x, k)) == pytest.approx(7.0)  # 3 + 2 + 2
+
+        g = jax.grad(lambda v: _top_k_sum(v, k))(x)
+        np.testing.assert_allclose(
+            np.asarray(g), [1.0, 2 / 3, 2 / 3, 2 / 3, 0.0], atol=1e-6
+        )
+        # Unique k-th value: coincides with torch's topk backward exactly.
+        y = jnp.array([5.0, 4.0, 3.0, 2.0, 1.0])
+        gy = jax.grad(lambda v: _top_k_sum(v, k))(y)
+        np.testing.assert_allclose(np.asarray(gy), [1, 1, 1, 0, 0], atol=1e-6)
+
 
 class TestWeightedBCE:
     def test_matches_torch(self):

@@ -123,6 +123,11 @@ def main(argv=None):
         "--augment", default=True, action=BooleanOptionalAction
     )
     parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="Microbatches per optimizer step (lax.scan inside the jitted "
+        "step; the 800x600 page activations, not params, bound batch size)",
+    )
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument(
         "--bf16", default=True, action=BooleanOptionalAction,
@@ -186,7 +191,9 @@ def main(argv=None):
     mesh = create_mesh(
         num_devices=args.num_devices or mesh_cfg.num_devices, axis=mesh_cfg.data_axis
     )
-    collate = lambda s: collate_detection(s, batch_multiple=mesh.size)  # noqa: E731
+    collate = lambda s: collate_detection(  # noqa: E731
+        s, batch_multiple=mesh.size * args.grad_accum
+    )
     train_loader = DataLoader(
         train_ds, batch_size, collate, shuffle=True, seed=seed, num_threads=2
     )
@@ -214,7 +221,11 @@ def main(argv=None):
         export_weights(state, args.export, model="detection", epoch=epoch)
         return
 
-    train_step, eval_step = make_detection_steps(model)
+    # Collation pads every batch to a multiple of mesh.size * grad_accum
+    # (zero-weight rows), so any --batch-size is valid.
+    train_step, eval_step = make_detection_steps(
+        model, grad_accum=args.grad_accum
+    )
 
     if args.validate_only:
         if not args.checkpoint:

@@ -65,6 +65,10 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="Microbatches per optimizer step (lax.scan inside the jitted step)",
+    )
+    parser.add_argument(
         "--bf16", default=True, action=BooleanOptionalAction,
         help="bfloat16 encoder matmuls (norms/softmax stay fp32)",
     )
@@ -116,7 +120,9 @@ def main(argv=None):
     mesh = create_mesh(
         num_devices=args.num_devices or mesh_cfg.num_devices, axis=mesh_cfg.data_axis
     )
-    collate = lambda s: collate_layout(s, batch_multiple=mesh.size)  # noqa: E731
+    collate = lambda s: collate_layout(  # noqa: E731
+        s, batch_multiple=mesh.size * args.grad_accum
+    )
     train_loader = DataLoader(train_ds, batch_size, collate, shuffle=True, seed=seed)
     val_loader = DataLoader(val_ds, batch_size, collate, shuffle=True, seed=seed)
 
@@ -145,7 +151,11 @@ def main(argv=None):
         export_weights(state, args.export, model="layout", epoch=epoch)
         return
 
-    train_step, eval_step = make_layout_steps(model, pos_weight=cfg.pos_weight)
+    # Collation pads every batch to a multiple of mesh.size * grad_accum
+    # (zero-weight rows), so any --batch-size is valid.
+    train_step, eval_step = make_layout_steps(
+        model, pos_weight=cfg.pos_weight, grad_accum=args.grad_accum
+    )
 
     if args.validate_only:
         val_loss, val_stats = run_epoch(

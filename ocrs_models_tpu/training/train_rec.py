@@ -125,6 +125,11 @@ def main(argv=None):
     parser.add_argument("--validate-only", action="store_true")
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="Microbatches per optimizer step (lax.scan inside the jitted "
+        "step; ~k-times lower activation memory at identical math)",
+    )
+    parser.add_argument(
         "--bf16", default=True, action=BooleanOptionalAction,
         help="bfloat16 conv compute (GRU stays fp32)",
     )
@@ -160,7 +165,8 @@ def main(argv=None):
         num_devices=args.num_devices or mesh_cfg.num_devices, axis=mesh_cfg.data_axis
     )
     collate = lambda s: collate_recognition(  # noqa: E731
-        s, width_step=cfg.width_step, batch_multiple=mesh.size, max_width=cfg.max_width
+        s, width_step=cfg.width_step,
+        batch_multiple=mesh.size * args.grad_accum, max_width=cfg.max_width
     )
     train_loader = DataLoader(
         train_ds, batch_size, collate, shuffle=True, seed=seed, num_threads=2
@@ -194,7 +200,11 @@ def main(argv=None):
         export_weights(state, args.export, model="recognition")
         return
 
-    train_step, eval_step = make_recognition_steps(model, mesh=mesh)
+    # Collation pads every batch to a multiple of mesh.size * grad_accum
+    # (zero-weight rows), so any --batch-size is valid.
+    train_step, eval_step = make_recognition_steps(
+        model, mesh=mesh, grad_accum=args.grad_accum
+    )
 
     if args.validate_only:
         val_loss, val_stats = run_epoch(

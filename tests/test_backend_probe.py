@@ -7,8 +7,6 @@ and the supervisor's headline-expectation filter.
 """
 
 import importlib.util
-import os
-import sys
 from pathlib import Path
 
 import pytest

@@ -361,17 +361,19 @@ def test_layout_grad_accum_matches_manual_loop():
     )
 
 
-def test_trainer_cli_rejects_indivisible_grad_accum(tmp_path, monkeypatch):
-    """--grad-accum that doesn't divide the per-device batch is a clear
-    CLI error, not a shape crash inside jit."""
+def test_trainer_cli_pads_indivisible_grad_accum(tmp_path, monkeypatch):
+    """A --batch-size that doesn't divide by grad_accum x devices is NOT
+    an error: collation pads each batch to the multiple with zero-weight
+    rows (the same mechanism that handles device divisibility), so the
+    trainer runs a full epoch."""
     from ocrs_models_tpu.training import train_layout
 
     monkeypatch.chdir(tmp_path)
-    with pytest.raises(SystemExit) as exc:
-        train_layout.main(
-            [
-                "synthetic", "--max-epochs", "1", "--batch-size", "6",
-                "--grad-accum", "4", "--num-devices", "1",
-            ]
-        )
-    assert "grad-accum" in str(exc.value)
+    train_layout.main(
+        [
+            "synthetic", "--max-images", "12", "--max-epochs", "1",
+            "--batch-size", "6", "--grad-accum", "4", "--num-devices", "1",
+            "--no-bf16",
+        ]
+    )
+    assert (tmp_path / "text-layout-metrics.jsonl").exists()

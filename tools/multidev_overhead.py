@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--batch", type=int, default=64, help="global batch")
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="microbatch scan inside both steps (proves the "
+        "scan-inside-shard_map composite executes on the backend)",
+    )
     args = ap.parse_args()
 
     n_dev = args.devices or len(jax.devices())
@@ -85,16 +90,19 @@ def main():
             grad_clip_norm=4.0,
         )
 
-    step_jit, _ = make_recognition_steps(model)
+    ga = args.grad_accum
+    step_jit, _ = make_recognition_steps(model, grad_accum=ga)
     t1, loss1 = time_step(step_jit, fresh_state(), jax.device_put(batch), args.iters)
     print(
-        f"single-device jit      (global batch {n}): {t1*1e3:8.2f} ms/step  "
+        f"single-device jit      (global batch {n}, ga={ga}): {t1*1e3:8.2f} ms/step  "
         f"loss={loss1:.4f}",
         flush=True,
     )
 
     mesh = create_mesh(num_devices=n_dev)
-    step_sm, _ = make_recognition_steps(model, mesh=mesh, force_shard_map=True)
+    step_sm, _ = make_recognition_steps(
+        model, mesh=mesh, force_shard_map=True, grad_accum=ga
+    )
     t2, loss2 = time_step(
         step_sm,
         replicate_tree(fresh_state(), mesh),

@@ -14,6 +14,11 @@ an axon backend-init hang: BENCH_r03.json rc=124, parsed=null):
 - ``python bench.py --worker`` runs the actual benchmarks, HEADLINE
   FIRST, each section fenced by a SIGALRM watchdog + try/except so one
   bad section cannot eat the rest.
+- ``python bench.py --warm`` pre-warms the persistent compile cache:
+  worker in-process, no budget, no watchdogs. Run once after a machine
+  reset — a cold 800x608 detection compile can exceed its watchdog, and
+  the alarm aborts the compile before the cache entry is written, so a
+  budgeted run can never self-heal that section.
 
 Sections (BASELINE.json configs 1-4; hiertext.py caps line crops at
 W<=800 which buckets to 1024):
@@ -600,8 +605,16 @@ def run_worker(argv):
     only = None
     if "--task" in argv:
         only = argv[argv.index("--task") + 1]
+    # --warm: cache pre-warm mode — no watchdogs, no deadline. On a fresh
+    # machine the 800x608 detection compiles can exceed their section
+    # watchdog; the SIGALRM then aborts the compile BEFORE the persistent
+    # cache entry is written, so the section can never self-heal. One
+    # `python bench.py --warm` run lets every compile finish once (and
+    # prints the numbers); all later runs hit .jax_cache and fit the
+    # driver's budget comfortably.
+    warm = "--warm" in argv
     deadline = None
-    if "--deadline-s" in argv:
+    if "--deadline-s" in argv and not warm:
         deadline = time.monotonic() + float(argv[argv.index("--deadline-s") + 1])
     signal.signal(signal.SIGALRM, _alarm_handler)
 
@@ -618,7 +631,8 @@ def run_worker(argv):
                       "global deadline", file=sys.stderr, flush=True)
                 return "skipped", None
             timeout_s = int(min(timeout_s, left))
-        signal.alarm(timeout_s)
+        if not warm:
+            signal.alarm(timeout_s)
         try:
             return "ok", fn(*args)
         except SectionTimeout:
@@ -679,6 +693,10 @@ def main():
     argv = sys.argv[1:]
     if "--worker" in argv:
         argv.remove("--worker")
+        return run_worker(argv)
+    if "--warm" in argv:
+        # Cache pre-warm: run the worker in-process, unbudgeted and
+        # unwatched, so every cold compile completes and persists.
         return run_worker(argv)
     return supervise(argv)
 

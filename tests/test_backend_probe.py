@@ -99,3 +99,25 @@ class TestBenchSupervisorHelpers:
         monkeypatch.setenv("BENCH_FORCE_CPU", "1")
         ok, detail = bench.probe_backend(120.0)
         assert ok and "cpu" in detail
+
+    def test_warm_mode_ignores_deadline_and_alarms(self, monkeypatch):
+        """--warm must run unbudgeted: an already-expired --deadline-s and
+        a zero section watchdog would shed/kill every section in normal
+        mode; in warm mode the (fully filtered-out) worker still exits 0
+        without ever arming SIGALRM."""
+        import signal as _signal
+
+        bench = _load_bench()
+        monkeypatch.setenv("BENCH_FORCE_CPU", "1")
+        armed = []
+        monkeypatch.setattr(
+            bench.signal, "alarm", lambda s: armed.append(s) or 0
+        )
+        rc = bench.run_worker(
+            ["--warm", "--task", "zzz-no-section", "--deadline-s", "0"]
+        )
+        assert rc == 0
+        assert armed == []
+        # run_worker installs its handler; restore the default so later
+        # tests in this process aren't affected.
+        _signal.signal(_signal.SIGALRM, _signal.SIG_DFL)

@@ -11,6 +11,10 @@ an axon backend-init hang: BENCH_r03.json rc=124, parsed=null):
   (4) guarantees the LAST stdout line always parses: the headline metric
       re-emitted if captured, else a structured ``backend_unavailable``
       diagnostic. A wedged backend can no longer zero out the round.
+      Before that final headline, EVERY completed section's metric is
+      re-emitted in one compact block, so the driver's bounded stdout
+      tail always records the full metric set (round 4 lost the plain
+      wide-bucket line to tail truncation).
 - ``python bench.py --worker`` runs the actual benchmarks, HEADLINE
   FIRST, each section fenced by a SIGALRM watchdog + try/except so one
   bad section cannot eat the rest.
@@ -197,11 +201,21 @@ def supervise(argv):
         proc.wait()
     t.join(timeout=5.0)
 
-    # 3. Last line must parse, and must be the headline when we have it.
+    # 3. The driver records a BOUNDED TAIL of stdout and parses the LAST
+    # line. Re-emit EVERY completed section's metric in one compact block
+    # here at the end — so the tail always contains the full metric set
+    # even when the streamed copies above scrolled out of the bound — and
+    # then the headline again as the final, parsed line. (Round 4's
+    # official artifact lost the plain wide-bucket line to exactly this
+    # truncation: VERDICT.md weak #1.)
     with lock:
         headline = next((r for r in lines if r.get("metric") == HEADLINE), None)
         got_any = bool(lines)
+        summary = list(lines)
     why = "worker killed at deadline" if killed else f"worker rc={proc.returncode}"
+    for rec in summary:
+        if rec is not headline:
+            print(json.dumps(rec, separators=(",", ":")), flush=True)
     if headline is not None:
         print(json.dumps(headline), flush=True)
     elif got_any and _headline_expected(argv):
@@ -696,7 +710,20 @@ def main():
         return run_worker(argv)
     if "--warm" in argv:
         # Cache pre-warm: run the worker in-process, unbudgeted and
-        # unwatched, so every cold compile completes and persists.
+        # unwatched, so every cold compile completes and persists. Probe
+        # the backend first (bounded, in a throwaway subprocess): a wedged
+        # axon backend then fails loudly with a diagnostic instead of
+        # hanging the warm run indefinitely (advisor finding, round 4).
+        ok, detail = probe_backend(timeout_s=float(
+            os.environ.get("BENCH_WARM_PROBE_TIMEOUT_S", "180")
+        ))
+        if not ok:
+            _emit(
+                "backend_unavailable",
+                0.0,
+                f"warm-run backend probe failed ({detail}); not warming",
+            )
+            return 1
         return run_worker(argv)
     return supervise(argv)
 

@@ -7,6 +7,7 @@ and the supervisor's headline-expectation filter.
 """
 
 import importlib.util
+import json
 from pathlib import Path
 
 import pytest
@@ -100,6 +101,49 @@ class TestBenchSupervisorHelpers:
         ok, detail = bench.probe_backend(120.0)
         assert ok and "cpu" in detail
 
+    def test_supervisor_reemits_full_metric_set_in_tail(
+        self, monkeypatch, capsys
+    ):
+        """The driver records a BOUNDED TAIL of stdout and parses the last
+        line. supervise() must therefore re-emit EVERY completed metric in
+        one compact block at the very end, headline last — round 4 lost
+        the plain wide-bucket metric to exactly this truncation."""
+        import io
+
+        bench = _load_bench()
+        metrics = [
+            {"metric": bench.HEADLINE, "value": 1.0, "unit": "x",
+             "vs_baseline": None},
+            {"metric": "recognition_train_wide_w1024_crops_per_sec_per_chip",
+             "value": 2.0, "unit": "x", "vs_baseline": None},
+            {"metric": "detection_train_images_per_sec_per_chip",
+             "value": 3.0, "unit": "x", "vs_baseline": None},
+        ]
+        worker_out = "".join(json.dumps(m) + "\n" for m in metrics)
+
+        class FakeProc:
+            stdout = io.StringIO(worker_out)
+            returncode = 0
+
+            def wait(self, timeout=None):
+                return 0
+
+            def kill(self):
+                pass
+
+        monkeypatch.setattr(bench, "probe_backend", lambda t: (True, "fake"))
+        monkeypatch.setattr(
+            bench.subprocess, "Popen", lambda *a, **k: FakeProc()
+        )
+        assert bench.supervise([]) == 0
+        out_lines = capsys.readouterr().out.strip().splitlines()
+        # Tail contract: the last len(metrics) lines contain every metric
+        # exactly, with the headline as the final (driver-parsed) line.
+        tail = [json.loads(l) for l in out_lines[-len(metrics):]]
+        assert {t["metric"] for t in tail} == {m["metric"] for m in metrics}
+        assert tail[-1]["metric"] == bench.HEADLINE
+        assert tail[-1]["value"] == 1.0
+
     def test_warm_mode_ignores_deadline_and_alarms(self, monkeypatch):
         """--warm must run unbudgeted: an already-expired --deadline-s and
         a zero section watchdog would shed/kill every section in normal
@@ -113,11 +157,15 @@ class TestBenchSupervisorHelpers:
         monkeypatch.setattr(
             bench.signal, "alarm", lambda s: armed.append(s) or 0
         )
-        rc = bench.run_worker(
-            ["--warm", "--task", "zzz-no-section", "--deadline-s", "0"]
-        )
-        assert rc == 0
-        assert armed == []
-        # run_worker installs its handler; restore the default so later
-        # tests in this process aren't affected.
-        _signal.signal(_signal.SIGALRM, _signal.SIG_DFL)
+        # run_worker installs its own SIGALRM handler; save the pre-test
+        # handler and restore it in finally so a failing assertion cannot
+        # leak bench's handler into later tests in this process.
+        prev_handler = _signal.getsignal(_signal.SIGALRM)
+        try:
+            rc = bench.run_worker(
+                ["--warm", "--task", "zzz-no-section", "--deadline-s", "0"]
+            )
+            assert rc == 0
+            assert armed == []
+        finally:
+            _signal.signal(_signal.SIGALRM, prev_handler)

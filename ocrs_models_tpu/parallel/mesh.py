@@ -37,9 +37,21 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree across the mesh."""
+    """Fully replicate a pytree across the mesh.
+
+    In a multi-process run every process must pass the same host value
+    (e.g. parameters initialized from the same seed); the result is a
+    global array replicated over all — including non-addressable — devices.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x, x.shape)
+
+    return jax.tree.map(put, tree)
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
@@ -47,12 +59,22 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
 
     Leading dims must be divisible by the mesh size (collation pads batches
     to a multiple of the mesh size before this point).
+
+    Multi-process (multi-host) runs pass each process's LOCAL shard of the
+    sample space (the DataLoader's ``process_index``/``process_count``
+    slicing); the result is a global array of batch size
+    ``local_n * process_count`` whose rows land on this process's
+    addressable devices — data never crosses DCN at load time.
     """
     sharding = batch_sharding(mesh, axis)
+    nproc = jax.process_count()
 
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, sharding)
+        if nproc == 1:
+            return jax.device_put(x, sharding)
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return jax.tree.map(put, batch)
 

@@ -184,12 +184,20 @@ def train_detection(pages, epochs: int, batch: int):
 class PipelineConditionAugment:
     """Match training crops to what the pipeline actually feeds the
     recognizer: down-scaled pastes re-enlarged from detected boxes, with a
-    little background margin around the line."""
+    little background margin around the line.
+
+    ``hard=True`` additionally matches the hard-page distribution (round-4
+    VERDICT item 6: the 9% hard-page matched CER came from evaluating on
+    rotated/noisy/shaded crops the recognizer never trained on): small
+    rotations like the pages' ±3° pastes, a per-crop illumination offset
+    (the page-level ramp is ~constant at line scale), and gaussian sensor
+    noise at the final crop resolution."""
 
     accepts_index = True
 
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, hard: bool = False):
         self.seed = seed
+        self.hard = hard
 
     def __call__(self, img, idx=None):
         from ocrs_models_tpu.data.augment import resize
@@ -199,20 +207,37 @@ class PipelineConditionAugment:
         # Margin like an expanded detection box.
         pad = int(rng.integers(0, 7))
         img = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), constant_values=0.45)
-        # Simulate the paste-scale + re-resize blur.
-        s = float(rng.uniform(0.5, 1.0))
+        if self.hard and rng.uniform() < 0.8:
+            from PIL import Image
+
+            angle = float(rng.uniform(-3, 3))
+            pil = Image.fromarray(img[..., 0], mode="F").rotate(
+                angle, resample=Image.BILINEAR, expand=True, fillcolor=0.45
+            )
+            img = np.asarray(pil, np.float32)[..., None]
+        # Simulate the paste-scale + re-resize blur (hard pages paste at
+        # 0.35-1.1 scale vs 0.5-0.9).
+        lo = 0.35 if self.hard else 0.5
+        s = float(rng.uniform(lo, 1.0))
         nh, nw = max(8, int(img.shape[0] * s)), max(8, int(img.shape[1] * s))
-        return resize(img, (nh, nw))
+        img = resize(img, (nh, nw))
+        if self.hard:
+            img = img + rng.uniform(-0.06, 0.06) + rng.normal(0, 0.02, img.shape)
+            img = np.clip(img, -0.5, 0.5).astype(np.float32)
+        return img
 
 
-def train_recognition(n_samples: int, epochs: int, batch: int):
+def train_recognition(n_samples: int, epochs: int, batch: int, hard: bool = False):
     model = RecognitionModel(n_classes=len(DEFAULT_ALPHABET) + 1, dtype=jnp.bfloat16)
     state = create_train_state(
         model, jax.random.key(0), jnp.zeros((1, 64, 64, 1)), grad_clip_norm=4.0
     )
     step, _ = make_recognition_steps(model)
     ds = SyntheticRecognition(
-        size=n_samples, seed=3, max_chars=12, transform=PipelineConditionAugment()
+        size=n_samples,
+        seed=3,
+        max_chars=12,
+        transform=PipelineConditionAugment(hard=hard),
     )
     order = np.arange(n_samples)
     rng = np.random.default_rng(0)
@@ -341,7 +366,9 @@ def main():
 
     pages = SyntheticTextPages(args.pages, seed=0, hard=args.hard)
     det_vars = train_detection(pages, args.det_epochs, batch=8)
-    rec_vars = train_recognition(args.rec_samples, args.rec_epochs, batch=48)
+    rec_vars = train_recognition(
+        args.rec_samples, args.rec_epochs, batch=48, hard=args.hard
+    )
 
     eval_pages = SyntheticTextPages(args.eval_pages, seed=99, hard=args.hard)
     pipe = OcrPipeline(det_vars, rec_vars)

@@ -117,6 +117,20 @@ def rec_cer(preds_tn: np.ndarray, batch: dict, downsample: int = 4) -> tuple:
     return stats.char_errors, stats.total_chars
 
 
+def harden_batch(b: dict, level: float, seed: int) -> dict:
+    """Deterministically corrupt a collated recognition batch: additive
+    Gaussian pixel noise (std ``level`` in the [-0.5, 0.5] intensity
+    domain) + clip. Used to build a val stream on which a *converged*
+    oracle still makes 5-15% character errors, so the cross-framework
+    CER delta measures real per-timestep disagreement rather than two
+    zero-error curves overlapping (round-4 verdict weak #2)."""
+    rng = np.random.default_rng(seed)
+    img = b["image"] + rng.normal(0.0, level, b["image"].shape)
+    out = dict(b)
+    out["image"] = np.clip(img, -0.5, 0.5).astype(np.float32)
+    return out
+
+
 def det_box_metrics(prob: np.ndarray, target: np.ndarray) -> dict:
     """Box-level precision/recall via the shared geometry kit (the same code
     path the detection val loop uses; reference train_detection.py:181-184)."""
@@ -239,12 +253,35 @@ def torch_rec_eval(model, val) -> float:
     return edits / max(chars, 1)
 
 
-def torch_det_train(epoch_batches, out_ckpt: str) -> None:
+def torch_det_train(epoch_batches, out_ckpt: str, oracle_init: str = "torch") -> None:
     import torch
     from ocrs_models.models import DetectionModel as TorchDet
 
     torch.manual_seed(SEED)
     model = TorchDet()
+    if oracle_init == "flax":
+        # Same init transplant as the rec oracle (see torch_rec_train):
+        # seed the reference model with the Flax lecun-normal init through
+        # the export path so the oracle converges quickly on CPU and the
+        # gate compares a WELL-TRAINED model (round-4 verdict weak #2: the
+        # round-3 det oracle sat at precision 0.40).
+        import jax
+        import jax.numpy as jnp
+
+        from ocrs_models_tpu.export.torch_export import (
+            export_detection_state_dict,
+        )
+        from ocrs_models_tpu.models import DetectionModel as FlaxDet
+
+        fm = FlaxDet()
+        variables = fm.init(jax.random.key(SEED), jnp.zeros((1, 64, 64, 1)))
+        sd_np = export_detection_state_dict(
+            {k: jax.tree.map(np.asarray, v) for k, v in variables.items()}
+        )
+        model.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()},
+            strict=False,
+        )
     opt = torch.optim.Adam(model.parameters())  # reference: default lr
 
     t0 = time.time()
@@ -442,7 +479,67 @@ def run_rec(
     }
 
 
-def run_det(out_dir: str, epochs: int, report: dict) -> None:
+def run_rec_hard_val(
+    out_dir: str,
+    report: dict,
+    n_train: int = 2048,
+    levels=(0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45),
+) -> None:
+    """The discriminating recognition gate: evaluate the converged oracle
+    pair on a noise-hardened val stream chosen so the torch oracle's CER
+    lands in [0.05, 0.15], then measure the cross-framework CER delta
+    there. Requires run_rec's cached checkpoints (and the same n_train,
+    so the val indices stay the held-out ones)."""
+    import torch
+    from ocrs_models.models import RecognitionModel as TorchRec
+
+    _, val = rec_batches(n_train=n_train, n_val=256, epochs=0)
+
+    def hard(level):
+        return [harden_batch(b, level, seed=9000 + i) for i, b in enumerate(val)]
+
+    out = {}
+    for name, ckpt in (
+        ("rec_torch_trained_hard", "ref_rec.pt"),
+        ("rec_flax_trained_hard", "ours_rec.pt"),
+    ):
+        path = os.path.join(out_dir, ckpt)
+        tm = TorchRec(alphabet=DEFAULT_ALPHABET)
+        tm.load_state_dict(
+            torch.load(path, map_location="cpu", weights_only=True)["model_state"]
+        )
+        sweep = {}
+        chosen = None
+        for level in levels:
+            hval = hard(level)
+            tcer = torch_rec_eval(tm, hval)
+            sweep[str(level)] = round(tcer, 5)
+            print(f"[hard-val {ckpt}] noise {level}: torch CER {tcer:.4f}", flush=True)
+            if tcer >= 0.05:
+                chosen = (level, hval, tcer)
+                break
+        if chosen is None:  # oracle still <5% at max level: use the max
+            level = levels[-1]
+            hval = hard(level)
+            chosen = (level, hval, torch_rec_eval(tm, hval))
+        level, hval, tcer = chosen
+        fcer = flax_rec_eval_from_ckpt(path, hval)
+        out[name] = {
+            "noise_level": level,
+            "torch_cer": tcer,
+            "flax_cer": fcer,
+            "cer_delta": abs(tcer - fcer),
+            "torch_cer_sweep": sweep,
+        }
+        print(
+            f"[hard-val {ckpt}] level {level}: torch {tcer:.4f} flax {fcer:.4f} "
+            f"delta {abs(tcer - fcer):.5f}",
+            flush=True,
+        )
+    report.update(out)
+
+
+def run_det(out_dir: str, epochs: int, report: dict, oracle_init: str = "torch") -> None:
     import torch
 
     train_eps, val = det_batches(n_train=48, n_val=16, epochs=epochs)
@@ -450,7 +547,7 @@ def run_det(out_dir: str, epochs: int, report: dict) -> None:
     ours_ckpt = os.path.join(out_dir, "ours_det.pt")
 
     if not os.path.exists(ref_ckpt):
-        torch_det_train(train_eps, ref_ckpt)
+        torch_det_train(train_eps, ref_ckpt, oracle_init=oracle_init)
     sd = torch.load(ref_ckpt, map_location="cpu", weights_only=True)["model_state"]
     torch_probs = torch_det_probs(sd, val)
     flax_probs, targets = flax_det_probs_from_ckpt(ref_ckpt, val)
@@ -691,13 +788,25 @@ def main():
     ap.add_argument("--rec-epochs", type=int, default=12)
     ap.add_argument("--rec-train", type=int, default=2048)
     ap.add_argument("--oracle-init", choices=["flax", "torch"], default="flax")
+    ap.add_argument(
+        "--rec-hard-val",
+        action="store_true",
+        help="also evaluate the cached rec checkpoints on a noise-hardened "
+        "val stream (oracle CER 5-15%%) — the discriminating gate",
+    )
+    ap.add_argument("--det-oracle-init", choices=["flax", "torch"], default="flax")
     ap.add_argument("--det-epochs", type=int, default=8)
     ap.add_argument("--layout-epochs", type=int, default=30)
     ap.add_argument("--out", default="parity_runs")
+    ap.add_argument(
+        "--report",
+        default="PARITY.json",
+        help="report path (point smoke runs away from the repo PARITY.json)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
-    report_path = "PARITY.json"
+    report_path = args.report
     report = json.load(open(report_path)) if os.path.exists(report_path) else {}
     report["config"] = {
         "rec": {
@@ -726,6 +835,7 @@ def main():
 
     report["notes"] = {
         "oracle_init": args.oracle_init,
+        "det_oracle_init": args.det_oracle_init,
         "rec_oracle_diagnosis": (
             "Round-3 diagnosis of the round-2 undertrained oracle "
             "(tools/parity_diag.py, parity_diag2.py): (1) same-weights "
@@ -747,8 +857,10 @@ def main():
             args.out, args.rec_epochs, report, n_train=args.rec_train,
             oracle_init=args.oracle_init,
         )
+    if args.rec_hard_val:
+        run_rec_hard_val(args.out, report, n_train=args.rec_train)
     if args.task in ("det", "all"):
-        run_det(args.out, args.det_epochs, report)
+        run_det(args.out, args.det_epochs, report, oracle_init=args.det_oracle_init)
     if args.task in ("layout", "all"):
         run_layout(args.out, args.layout_epochs, report)
 
@@ -759,6 +871,9 @@ def main():
     if "rec_torch_trained" in report:
         gates.append(report["rec_torch_trained"]["cer_delta"] <= 0.01)
         gates.append(report["rec_flax_trained"]["cer_delta"] <= 0.01)
+    for k in ("rec_torch_trained_hard", "rec_flax_trained_hard"):
+        if k in report:
+            gates.append(report[k]["cer_delta"] <= 0.01)
     if "det_torch_trained" in report:
         gates.append(report["det_torch_trained"]["precision_delta"] <= 0.01)
         gates.append(report["det_torch_trained"]["recall_delta"] <= 0.01)

@@ -17,7 +17,6 @@ sharding than the reference's torch-RNN-legacy ``[T, N, C]``).
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..ops.gru import BiGRU
@@ -39,18 +38,6 @@ class _Stage1Params(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
-
-
-class _ConvKernelParams(nn.Module):
-    """Owns a bias-free conv's kernel with nn.Conv's tree structure
-    ({kernel [kh,kw,in,out]}, lecun_normal) — same checkpoint-
-    interchangeability contract as :class:`_Stage1Params`."""
-
-    shape: tuple
-
-    @nn.compact
-    def __call__(self):
-        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
 
 
 def _resolve_conv_backend(backend: str) -> str:
@@ -108,7 +95,7 @@ class RecognitionModel(nn.Module):
             return lambda x: mod(x, use_running_average=not train)
 
         p1 = ((1, 1), (1, 1))
-        # Stages 1+2: 64xW x1 -> 32xW/2 x32 -> 16xW/4 x64.
+        # Stage 1: 64xW -> 32 x W/2
         n_, h_, w_, _ = x.shape
         conv_backend = _resolve_conv_backend(self.conv_backend)
         if conv_backend.startswith("fused") and h_ % 16 == 0 and w_ % 2 == 0:
@@ -116,46 +103,20 @@ class RecognitionModel(nn.Module):
 
             kernel, bias = _Stage1Params(32, name="conv0")()
             interpret = effective_platform() != "tpu"
-            # Stage 1 emits its NATIVE [N, H/2, C, W'] block and stage 2
-            # runs entirely in that W-minor layout: W' on the lanes keeps
-            # every HBM pass full-lane where NHWC lane-pads the C=32/64
-            # minor dims 4x/2x — and skips the 537 MB relayout (plus its
-            # mirrored dy transpose) the NHWC hand-off cost. Measured
-            # round 5: 23.4 -> 21.9 ms wide-bucket step. Parameters and
-            # batch stats are layout-invariant (bn4 reduces over the same
-            # logical axes), so checkpoints are unchanged.
-            x = stage1_fused(x, kernel, bias, interpret, dt, "nhcw")
-            conv3 = _ConvKernelParams((3, 3, 32, 64), name="conv3")()
-            x = jax.lax.conv_general_dilated(
-                x,
-                conv3.astype(dt),
-                (1, 1),
-                p1,
-                dimension_numbers=("NHCW", "HWIO", "NHCW"),
-            )
-            mod = BatchNormLite(momentum=0.9, epsilon=1e-5, axis=2, name="bn4")
-            x = mod(x, use_running_average=not train).astype(dt)
-            x = jax.lax.reduce_window(
-                x, -jnp.inf, jax.lax.max, (1, 2, 1, 2), (1, 2, 1, 2), "VALID"
-            )
-            # Back to NHWC for stages 3-5 on the 16x-smaller pooled tensor
-            # (C=64 -> full lanes once stage 3 lifts it to 128).
-            x = nn.relu(jnp.transpose(x, (0, 1, 3, 2)))
+            x = stage1_fused(x, kernel, bias, interpret, dt)
         else:
             x = nn.Conv(32, (3, 3), padding=p1, dtype=dt, name="conv0")(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            # Stage 2: -> 16 x W/4
-            x = nn.Conv(
-                64, (3, 3), padding=p1, use_bias=False, dtype=dt, name="conv3"
-            )(x)
-            # Pool BEFORE relu (bit-identical: max-pool commutes with the
-            # monotone relu) so the activation pass touches 4x fewer bytes.
-            # (A fused BN+pool+relu Pallas kernel for this stage was built
-            # and A/B'd — it lost to XLA's fusion at every shape and was
-            # deleted; numbers in docs/rec_perf.md, code in git history.)
-            x = nn.max_pool(bn("bn4")(x).astype(dt), (2, 2), strides=(2, 2))
-            x = nn.relu(x)
+        # Stage 2: -> 16 x W/4
+        x = nn.Conv(64, (3, 3), padding=p1, use_bias=False, dtype=dt, name="conv3")(x)
+        # Pool BEFORE relu (bit-identical: max-pool commutes with the
+        # monotone relu) so the activation pass touches 4x fewer bytes.
+        # (A fused BN+pool+relu Pallas kernel for this stage was built and
+        # A/B'd — it lost to XLA's fusion at every shape and was deleted;
+        # numbers in docs/rec_perf.md, code in git history.)
+        x = nn.max_pool(bn("bn4")(x).astype(dt), (2, 2), strides=(2, 2))
+        x = nn.relu(x)
         # Stage 3: -> 8 x W/4
         x = nn.Conv(128, (3, 3), padding=p1, dtype=dt, name="conv7")(x)
         x = nn.relu(x)

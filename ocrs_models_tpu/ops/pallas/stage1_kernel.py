@@ -198,7 +198,7 @@ def _prep(x, kernel, bias, dt):
     return slabs, w10
 
 
-def _fwd_call(x, kernel, bias, *, interpret, dt=DT, layout="nhwc"):
+def _fwd_call(x, kernel, bias, *, interpret, dt=DT):
     n, h, w, _ = x.shape
     c = kernel.shape[-1]
     hp, wp = h // 2, w // 2
@@ -217,17 +217,15 @@ def _fwd_call(x, kernel, bias, *, interpret, dt=DT, layout="nhwc"):
         out_shape=jax.ShapeDtypeStruct((n, hp, c, wp), dt),
         interpret=interpret,
     )(*slabs, w10)
-    if layout == "nhcw":
-        return y_cf  # native [N, H/2, C, W'] — full-lane in HBM
     return y_cf.transpose(0, 1, 3, 2)  # NHWC [N, H/2, W/2, C]
 
 
-def _bwd_call(x, kernel, bias, dy, *, interpret, dt=DT, layout="nhwc"):
+def _bwd_call(x, kernel, bias, dy_nhwc, *, interpret, dt=DT):
     n, h, w, _ = x.shape
     c = kernel.shape[-1]
     hp, wp = h // 2, w // 2
     slabs, w10 = _prep(x, kernel, bias, dt)
-    dy_cf = dy.transpose(0, 1, 3, 2) if layout == "nhwc" else dy
+    dy_cf = dy_nhwc.transpose(0, 1, 3, 2)  # [N, H/2, C, W']
     dw10 = pl.pallas_call(
         functools.partial(_bwd_kernel, hp=hp, wp=wp, dt=dt),
         grid=(n,),
@@ -264,41 +262,30 @@ def _reference_stage1(x, kernel, bias, dt=DT):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def stage1_fused(x, kernel, bias, interpret=False, dt=DT, layout="nhwc"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def stage1_fused(x, kernel, bias, interpret=False, dt=DT):
     """Fused conv(1->C, 3x3, pad 1) + bias + ReLU + 2x2/2 maxpool.
 
     :param x: [N, H, W, 1] float (H, W even).
     :param kernel: [3, 3, 1, C] HWIO weights.
     :param bias: [C].
-    :param layout: ``"nhwc"`` returns [N, H/2, W/2, C] (matching the XLA
-        path); ``"nhcw"`` returns the kernel's NATIVE [N, H/2, C, W/2]
-        block untransposed. The nhcw tensor is full-lane in HBM (W/2 on
-        the minor dim) where the nhwc one lane-pads C=32 4x — callers
-        that consume stage 2 in W-minor layout skip both the 537 MB
-        forward relayout and its mirrored dy transpose in the backward
-        (round-5 measurement, docs/rec_perf.md).
-    :return: pooled stage-1 activations in ``dt``.
+    :return: [N, H/2, W/2, C] in ``dt`` (NHWC, matching the XLA path).
     """
-    return _fwd_call(x, kernel, bias, interpret=interpret, dt=dt, layout=layout)
+    return _fwd_call(x, kernel, bias, interpret=interpret, dt=dt)
 
 
-def _vjp_fwd(x, kernel, bias, interpret, dt, layout):
-    y = stage1_fused(x, kernel, bias, interpret, dt, layout)
+def _vjp_fwd(x, kernel, bias, interpret, dt):
+    y = _fwd_call(x, kernel, bias, interpret=interpret, dt=dt)
     return y, (x, kernel, bias)
 
 
-def _vjp_bwd(interpret, dt, layout, res, dy):
+def _vjp_bwd(interpret, dt, res, dy):
     x, kernel, bias = res
-    dkernel, dbias = _bwd_call(
-        x, kernel, bias, dy, interpret=interpret, dt=dt, layout=layout
-    )
+    dkernel, dbias = _bwd_call(x, kernel, bias, dy, interpret=interpret, dt=dt)
     # dx: XLA reference VJP — dead-code-eliminated whenever the caller does
-    # not differentiate w.r.t. the image (always true in training). Only
-    # this path needs an NHWC dy, so the transpose it implies is DCE'd too.
-    dy_nhwc = dy if layout == "nhwc" else dy.transpose(0, 1, 3, 2)
+    # not differentiate w.r.t. the image (always true in training).
     _, ref_vjp = jax.vjp(lambda xx: _reference_stage1(xx, kernel, bias, dt), x)
-    (dx,) = ref_vjp(dy_nhwc.astype(dt))
+    (dx,) = ref_vjp(dy.astype(dt))
     return dx.astype(x.dtype), dkernel, dbias
 
 

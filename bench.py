@@ -697,9 +697,28 @@ def run_worker(argv):
     guarded("det_ga4", bench_detection, 4, 4, timeout_s=240)
 
     # Second chance for the headline if its first attempt was eaten by a
-    # transient tunnel stall — the compile is warm now, so this is cheap.
+    # transient tunnel stall. Two fixes over the naive re-call (round 5,
+    # observed as back-to-back headline_unavailable runs):
+    #  - rebuild the train state: the donate_argnums=0 steps consumed the
+    #    loop's `state` buffers (rec_wide_ga4 donates internally and its
+    #    final state is discarded), so reusing it dies with a TPU
+    #    InvalidArgument on the first fetch;
+    #  - a LONGER watchdog: the first attempt's alarm fired mid-compile,
+    #    BEFORE the persistent-cache write, so the retry faces the same
+    #    >150s cold compile and a same-budget retry dies identically.
+    #    420s lets the compile finish and write its cache entry; the
+    #    global deadline still caps it.
     if state is not None and not headline_done and (only is None or "rec" in only):
-        guarded("rec_headline_retry", bench_rec_headline, state, train_step)
+        try:
+            state, train_step, rec_model = _make_rec()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            state = None
+    if state is not None and not headline_done and (only is None or "rec" in only):
+        guarded(
+            "rec_headline_retry", bench_rec_headline, state, train_step,
+            timeout_s=420,
+        )
     return 0
 
 

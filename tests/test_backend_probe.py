@@ -169,3 +169,55 @@ class TestBenchSupervisorHelpers:
             assert armed == []
         finally:
             _signal.signal(_signal.SIGALRM, prev_handler)
+
+    def test_headline_retry_rebuilds_state_with_long_watchdog(
+        self, monkeypatch
+    ):
+        """The end-of-run headline retry must (a) rebuild the train state
+        — the donate_argnums=0 sections consumed the loop's state buffers
+        (observed as a TPU InvalidArgument on the retry's first fetch) —
+        and (b) arm a LONGER watchdog than the first attempt's 150s: that
+        alarm fires mid-compile BEFORE the persistent-cache write, so a
+        same-budget retry faces the identical cold compile and dies the
+        same way (round 5: back-to-back headline_unavailable runs)."""
+        import signal as _signal
+
+        bench = _load_bench()
+        monkeypatch.setenv("BENCH_FORCE_CPU", "1")
+
+        makes, headline_states, armed = [], [], []
+
+        def fake_make_rec():
+            token = object()
+            makes.append(token)
+            return token, "train-step", "model"
+
+        def fake_headline(state, step):
+            headline_states.append(state)
+            if len(headline_states) == 1:
+                raise bench.SectionTimeout()
+            return state
+
+        monkeypatch.setattr(
+            bench.signal, "alarm", lambda s: armed.append(s) or 0
+        )
+        monkeypatch.setattr(bench, "_make_rec", fake_make_rec)
+        monkeypatch.setattr(bench, "bench_rec_headline", fake_headline)
+        monkeypatch.setattr(bench, "bench_rec_wide", lambda st, ts: st)
+        monkeypatch.setattr(bench, "bench_rec_mixed", lambda st, ts: st)
+        monkeypatch.setattr(bench, "bench_rec_infer", lambda: None)
+        monkeypatch.setattr(bench, "bench_rec_wide_ga", lambda st, m: None)
+
+        prev_handler = _signal.getsignal(_signal.SIGALRM)
+        try:
+            rc = bench.run_worker(["--task", "rec"])
+        finally:
+            _signal.signal(_signal.SIGALRM, prev_handler)
+        assert rc == 0
+        # Initial build, rebuild after the timed-out first attempt, and a
+        # fresh build for the retry (the loop's state was donated away).
+        assert len(makes) == 3
+        assert len(headline_states) == 2
+        assert headline_states[1] is makes[2]
+        # The retry's watchdog is the long one; the first attempt's 150s.
+        assert 150 in armed and 420 in armed

@@ -483,7 +483,7 @@ def run_rec_hard_val(
     out_dir: str,
     report: dict,
     n_train: int = 2048,
-    levels=(0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45),
+    levels=(0.02, 0.04, 0.06, 0.08, 0.10, 0.125, 0.15, 0.2, 0.25, 0.3),
 ) -> None:
     """The discriminating recognition gate: evaluate the converged oracle
     pair on a noise-hardened val stream chosen so the torch oracle's CER
@@ -509,15 +509,20 @@ def run_rec_hard_val(
             torch.load(path, map_location="cpu", weights_only=True)["model_state"]
         )
         sweep = {}
-        chosen = None
+        in_band = None  # first level landing the oracle in [0.05, 0.18]
+        above = None  # first level overshooting the band (fallback)
         for level in levels:
             hval = hard(level)
             tcer = torch_rec_eval(tm, hval)
             sweep[str(level)] = round(tcer, 5)
             print(f"[hard-val {ckpt}] noise {level}: torch CER {tcer:.4f}", flush=True)
-            if tcer >= 0.05:
-                chosen = (level, hval, tcer)
+            if 0.05 <= tcer <= 0.18:
+                in_band = (level, hval, tcer)
                 break
+            if tcer > 0.18:
+                above = (level, hval, tcer)
+                break
+        chosen = in_band or above
         if chosen is None:  # oracle still <5% at max level: use the max
             level = levels[-1]
             hval = hard(level)

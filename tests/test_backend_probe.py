@@ -170,16 +170,10 @@ class TestBenchSupervisorHelpers:
         finally:
             _signal.signal(_signal.SIGALRM, prev_handler)
 
-    def test_headline_retry_rebuilds_state_with_long_watchdog(
-        self, monkeypatch
-    ):
-        """The end-of-run headline retry must (a) rebuild the train state
-        — the donate_argnums=0 sections consumed the loop's state buffers
-        (observed as a TPU InvalidArgument on the retry's first fetch) —
-        and (b) arm a LONGER watchdog than the first attempt's 150s: that
-        alarm fires mid-compile BEFORE the persistent-cache write, so a
-        same-budget retry faces the identical cold compile and dies the
-        same way (round 5: back-to-back headline_unavailable runs)."""
+    def _run_headline_retry_scenario(self, monkeypatch, fail_first_n):
+        """Drive run_worker with a fake headline section that times out on
+        its first ``fail_first_n`` calls, recording state rebuilds and
+        armed watchdogs."""
         import signal as _signal
 
         bench = _load_bench()
@@ -194,7 +188,7 @@ class TestBenchSupervisorHelpers:
 
         def fake_headline(state, step):
             headline_states.append(state)
-            if len(headline_states) == 1:
+            if len(headline_states) <= fail_first_n:
                 raise bench.SectionTimeout()
             return state
 
@@ -214,10 +208,41 @@ class TestBenchSupervisorHelpers:
         finally:
             _signal.signal(_signal.SIGALRM, prev_handler)
         assert rc == 0
-        # Initial build, rebuild after the timed-out first attempt, and a
-        # fresh build for the retry (the loop's state was donated away).
-        assert len(makes) == 3
+        return makes, headline_states, armed
+
+    def test_headline_inline_retry_rebuilds_state_with_long_watchdog(
+        self, monkeypatch
+    ):
+        """A timed-out first headline attempt must be retried IMMEDIATELY
+        (round 5 observed the end-of-run slot shed at 24s of budget left)
+        with (a) a rebuilt train state — the donate_argnums=0 step
+        consumed the first attempt's buffers (observed as a TPU
+        InvalidArgument on the retry's first fetch) — and (b) a LONGER
+        watchdog: the first alarm fires mid-compile BEFORE the
+        persistent-cache write, so a same-budget retry dies identically."""
+        makes, headline_states, armed = self._run_headline_retry_scenario(
+            monkeypatch, fail_first_n=1
+        )
+        # Initial build + rebuild for the inline retry; no end-of-run
+        # attempt once the inline retry lands the headline.
+        assert len(makes) == 2
         assert len(headline_states) == 2
-        assert headline_states[1] is makes[2]
-        # The retry's watchdog is the long one; the first attempt's 150s.
-        assert 150 in armed and 420 in armed
+        assert headline_states[1] is makes[1]
+        # First attempt: generous 300s (post-reset ramp); retry: 420s.
+        assert 300 in armed and 420 in armed
+
+    def test_headline_end_of_run_backstop_after_two_failures(
+        self, monkeypatch
+    ):
+        """If the inline retry ALSO times out (stall that clears late),
+        the end-of-run backstop still rebuilds state and lands the
+        headline as the run's last act."""
+        makes, headline_states, armed = self._run_headline_retry_scenario(
+            monkeypatch, fail_first_n=2
+        )
+        # Initial + rebuild after attempt 1 + rebuild after the inline
+        # retry + fresh build for the end-of-run backstop.
+        assert len(makes) == 4
+        assert len(headline_states) == 3
+        assert headline_states[2] is makes[3]
+        assert 300 in armed and armed.count(420) >= 2

@@ -711,25 +711,37 @@ def run_worker(argv):
             timeout_s=300,
         )
         if status == "failed":
-            # state may have been donated before the failure; rebuild.
-            state, train_step, rec_model = _make_rec()
-            status, new_state = guarded(
-                "rec_headline_retry_inline", bench_rec_headline, state,
-                train_step, timeout_s=420,
-            )
-            if status == "failed":
+            try:
+                # state may have been donated before the failure; rebuild.
                 state, train_step, rec_model = _make_rec()
+                status, new_state = guarded(
+                    "rec_headline_retry_inline", bench_rec_headline, state,
+                    train_step, timeout_s=420,
+                )
+                if status == "failed":
+                    state, train_step, rec_model = _make_rec()
+            except Exception:
+                # A rebuild failure must not take the whole worker (and
+                # every remaining section) down with it.
+                traceback.print_exc(file=sys.stderr)
+                state = None
         if status == "ok":
             state = new_state
             headline_done = True
+    if state is not None:
         for name, fn in (
             ("rec_wide", bench_rec_wide),
             ("rec_mixed", bench_rec_mixed),
         ):
             status, new_state = guarded(name, fn, state, train_step)
             if status == "failed":
-                # state may have been donated before the failure; rebuild.
-                state, train_step, rec_model = _make_rec()
+                try:
+                    # state may have been donated pre-failure; rebuild.
+                    state, train_step, rec_model = _make_rec()
+                except Exception:
+                    traceback.print_exc(file=sys.stderr)
+                    state = None
+                    break
             elif status == "ok":
                 state = new_state
 

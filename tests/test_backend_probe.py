@@ -144,6 +144,49 @@ class TestBenchSupervisorHelpers:
         assert tail[-1]["metric"] == bench.HEADLINE
         assert tail[-1]["value"] == 1.0
 
+    def test_supervisor_kill_at_deadline_still_emits_clean_tail(
+        self, monkeypatch, capsys
+    ):
+        """A worker that outlives the global budget is killed by exact
+        PID, and the supervisor still ends with a parseable tail: the
+        completed metrics re-emitted and the headline (captured before
+        the kill) as the final line. Observed for real in round 5 when a
+        CPU-starved worker was killed after the rec sections."""
+        import io
+        import subprocess as _subprocess
+
+        bench = _load_bench()
+        metrics = [
+            {"metric": bench.HEADLINE, "value": 5.0, "unit": "x",
+             "vs_baseline": None},
+            {"metric": "recognition_train_wide_w1024_crops_per_sec_per_chip",
+             "value": 6.0, "unit": "x", "vs_baseline": None},
+        ]
+        worker_out = "".join(json.dumps(m) + "\n" for m in metrics)
+
+        class HungProc:
+            stdout = io.StringIO(worker_out)
+            returncode = -9
+            killed = False
+
+            def wait(self, timeout=None):
+                if not self.killed:
+                    raise _subprocess.TimeoutExpired("worker", timeout)
+                return -9
+
+            def kill(self):
+                self.killed = True
+
+        monkeypatch.setattr(bench, "probe_backend", lambda t: (True, "fake"))
+        monkeypatch.setattr(
+            bench.subprocess, "Popen", lambda *a, **k: HungProc()
+        )
+        assert bench.supervise([]) == 0
+        out_lines = capsys.readouterr().out.strip().splitlines()
+        tail = [json.loads(l) for l in out_lines[-len(metrics):]]
+        assert {t["metric"] for t in tail} == {m["metric"] for m in metrics}
+        assert tail[-1]["metric"] == bench.HEADLINE
+
     def test_warm_mode_ignores_deadline_and_alarms(self, monkeypatch):
         """--warm must run unbudgeted: an already-expired --deadline-s and
         a zero section watchdog would shed/kill every section in normal
